@@ -1,0 +1,117 @@
+"""stheno_tpu — a TPU-native Gaussian-process probabilistic-programming
+framework with the capabilities of Stheno.jl (see SURVEY.md for the full
+reference analysis and parity map).
+
+Public surface (parity: reference exports at src/Stheno.jl:46-48 plus the
+AbstractGPs / KernelFunctions verbs its examples exercise):
+
+- programme construction: `@gppp`, `GP`, `GPC`, `atomic`, `GPPP`
+- tagged inputs: `GPPPInput`, `BlockData`, `split`, `vcat`
+- affine ops: `+ - *` on processes, `compose`, `stretch`, `select`,
+  `periodic`, `shift`, `additive_gp`, `cross`
+- inference verbs: `rand`, `logpdf`, `posterior`, `marginals`, `mean`, `cov`,
+  `var`, `mean_and_cov`, `mean_and_var`, `elbo`, `VFE`, `SparseFiniteGP`
+- kernel zoo: `SEKernel`, `Matern12/32/52Kernel`, `WhiteKernel`, ... and
+  kernel algebra / `with_lengthscale`
+- inference engines (first-class here, ecosystem-delegated in the reference):
+  `stheno_tpu.inference` (NUTS/HMC, VI, SMC), `stheno_tpu.parallel`
+  (sharded chains, distributed kernel matrices)
+"""
+
+from stheno_tpu.kernels import *  # noqa: F401,F403
+from stheno_tpu.kernels import __all__ as _kernels_all
+from stheno_tpu.means import ZeroMean, ConstMean, FunctionMean
+from stheno_tpu.inputs import GPPPInput, BlockData, split, vcat
+from stheno_tpu.graph import (
+    GPC,
+    GP,
+    atomic,
+    cross,
+    cross_cov,
+    cross_var,
+    compose,
+    stretch,
+    select,
+    periodic,
+    shift,
+    additive_gp,
+    AbstractProcess,
+    AtomicGP,
+    Stretch,
+    Select,
+    Periodic,
+    Shift,
+)
+from stheno_tpu.gppp import GPPP, gppp
+from stheno_tpu.finite_gp import (
+    FiniteGP,
+    DiagNoise,
+    FullNoise,
+    Marginals,
+    mean,
+    cov,
+    var,
+    mean_and_cov,
+    mean_and_var,
+    marginals,
+    rand,
+    logpdf,
+    posterior,
+    PosteriorGP,
+    VFE,
+    elbo,
+    posterior_vfe,
+    ApproxPosteriorGP,
+    SparseFiniteGP,
+)
+
+__version__ = "0.1.0"
+
+__all__ = list(_kernels_all) + [
+    "ZeroMean",
+    "ConstMean",
+    "FunctionMean",
+    "GPPPInput",
+    "BlockData",
+    "split",
+    "vcat",
+    "GPC",
+    "GP",
+    "atomic",
+    "cross",
+    "cross_cov",
+    "cross_var",
+    "compose",
+    "stretch",
+    "select",
+    "periodic",
+    "shift",
+    "additive_gp",
+    "AbstractProcess",
+    "AtomicGP",
+    "Stretch",
+    "Select",
+    "Periodic",
+    "Shift",
+    "GPPP",
+    "gppp",
+    "FiniteGP",
+    "DiagNoise",
+    "FullNoise",
+    "Marginals",
+    "mean",
+    "cov",
+    "var",
+    "mean_and_cov",
+    "mean_and_var",
+    "marginals",
+    "rand",
+    "logpdf",
+    "posterior",
+    "PosteriorGP",
+    "VFE",
+    "elbo",
+    "posterior_vfe",
+    "ApproxPosteriorGP",
+    "SparseFiniteGP",
+]

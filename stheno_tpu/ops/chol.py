@@ -1,0 +1,91 @@
+"""Cholesky / triangular-solve / MvNormal-logpdf ops — the O(N^3) hot path.
+
+These wrap XLA's native TPU lowerings (blocked Cholesky + blocked TRSM) behind
+a stable interface so the Pallas / distributed implementations can be swapped
+in without touching the inference layer:
+
+- `cholesky_psd(K, jitter)` — symmetrise + jitter + `lax.linalg.cholesky`.
+- `solve_lower/upper`       — `lax.linalg.triangular_solve`.
+- `mvn_logpdf_chol`         — the MvNormal logpdf given a precomputed factor.
+
+Replicates the behavioral dependency on AbstractGPs.jl's dense inference path
+(`logpdf(fx, y)` = MvNormal logpdf via `cholesky(cov(fx))`; see SURVEY.md §3.2
+and reference README.md:73-96).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def symmetrize(K):
+    return 0.5 * (K + jnp.swapaxes(K, -1, -2))
+
+
+def add_jitter(K, jitter):
+    n = K.shape[-1]
+    return K + jitter * jnp.eye(n, dtype=K.dtype)
+
+
+def cholesky_psd(K, jitter=0.0):
+    """Lower Cholesky factor of a (batched) PSD matrix, symmetrised first.
+
+    The reference symmetrises with `Symmetric(K)` before `cholesky`
+    (AbstractGPs path, SURVEY.md §3.2); we do the same to wash out
+    antisymmetric floating-point noise from block assembly.
+    """
+    K = symmetrize(K)
+    if jitter:
+        K = add_jitter(K, jnp.asarray(jitter, dtype=K.dtype))
+    return lax.linalg.cholesky(K)
+
+
+def solve_lower(L, b, trans=False):
+    """Solve L x = b (or L^T x = b when trans) with L lower triangular."""
+    b2 = b[..., None] if b.ndim == L.ndim - 1 else b
+    out = lax.linalg.triangular_solve(
+        L, b2, left_side=True, lower=True, transpose_a=trans
+    )
+    return out[..., 0] if b.ndim == L.ndim - 1 else out
+
+
+def solve_upper(U, b, trans=False):
+    b2 = b[..., None] if b.ndim == U.ndim - 1 else b
+    out = lax.linalg.triangular_solve(
+        U, b2, left_side=True, lower=False, transpose_a=trans
+    )
+    return out[..., 0] if b.ndim == U.ndim - 1 else out
+
+
+def chol_solve(L, b):
+    """(L L^T)^{-1} b given the lower factor L."""
+    return solve_lower(L, solve_lower(L, b), trans=True)
+
+
+def chol_logdet(L):
+    """log det (L L^T) = 2 sum log diag L."""
+    d = jnp.diagonal(L, axis1=-2, axis2=-1)
+    return 2.0 * jnp.sum(jnp.log(d), axis=-1)
+
+
+def mvn_logpdf_chol(y, mean, L):
+    """log N(y; mean, L L^T).  `y` may be (N,) or (N, S) for S iid samples.
+
+    -1/2 [ N log 2π + logdet + (y-m)^T (LL^T)^{-1} (y-m) ]
+    """
+    n = L.shape[-1]
+    diff = y - (mean[..., None] if y.ndim == mean.ndim + 1 else mean)
+    alpha = solve_lower(L, diff)
+    quad = jnp.sum(alpha * alpha, axis=-2 if y.ndim > mean.ndim else -1)
+    two_pi = jnp.asarray(2.0 * jnp.pi, dtype=L.dtype)
+    return -0.5 * (n * jnp.log(two_pi) + chol_logdet(L) + quad)
+
+
+def mvn_sample_chol(key, mean, L, sample_shape=()):
+    """Sample from N(mean, L L^T): mean + L @ eps."""
+    n = L.shape[-1]
+    eps = jax.random.normal(key, (*sample_shape, n), dtype=L.dtype)
+    smp = mean + jnp.einsum("ij,...j->...i", L, eps)
+    return smp

@@ -1,0 +1,129 @@
+"""Kernel zoo vs dense numpy oracles (reference test pattern §4.3: algebraic
+oracle tests with hand-written formulas)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import stheno_tpu as st
+from stheno_tpu.kernels import kernelmatrix, kernelmatrix_diag
+
+
+def _np_pairwise(kfun, x, y):
+    x = np.atleast_2d(np.asarray(x).T).T if np.asarray(x).ndim == 1 else np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    y = np.asarray(y)
+    if y.ndim == 1:
+        y = y[:, None]
+    K = np.zeros((x.shape[0], y.shape[0]))
+    for i in range(x.shape[0]):
+        for j in range(y.shape[0]):
+            K[i, j] = kfun(x[i], y[j])
+    return K
+
+
+ORACLES = [
+    (st.SEKernel(), lambda a, b: np.exp(-0.5 * np.sum((a - b) ** 2))),
+    (st.Matern12Kernel(), lambda a, b: np.exp(-np.linalg.norm(a - b))),
+    (
+        st.Matern32Kernel(),
+        lambda a, b: (1 + np.sqrt(3) * np.linalg.norm(a - b))
+        * np.exp(-np.sqrt(3) * np.linalg.norm(a - b)),
+    ),
+    (
+        st.Matern52Kernel(),
+        lambda a, b: (
+            1
+            + np.sqrt(5) * np.linalg.norm(a - b)
+            + 5.0 / 3.0 * np.sum((a - b) ** 2)
+        )
+        * np.exp(-np.sqrt(5) * np.linalg.norm(a - b)),
+    ),
+    (
+        st.RationalQuadraticKernel(alpha=jnp.asarray(1.7)),
+        lambda a, b: (1 + np.sum((a - b) ** 2) / (2 * 1.7)) ** (-1.7),
+    ),
+    (st.LinearKernel(), lambda a, b: np.dot(a, b)),
+    (st.ConstantKernel(c=jnp.asarray(2.5)), lambda a, b: 2.5),
+    (
+        st.PeriodicKernel(r=jnp.asarray(0.9)),
+        lambda a, b: np.exp(-0.5 * np.sum((np.sin(np.pi * (a - b)) / 0.9) ** 2)),
+    ),
+]
+
+
+@pytest.mark.parametrize("k,oracle", ORACLES, ids=lambda p: type(p).__name__)
+@pytest.mark.parametrize("dim", [1, 3])
+def test_kernel_vs_oracle(rng, k, oracle, dim):
+    if not callable(oracle):
+        pytest.skip("not an oracle")
+    x = rng.normal(size=(7, dim)) if dim > 1 else rng.normal(size=7)
+    y = rng.normal(size=(5, dim)) if dim > 1 else rng.normal(size=5)
+    K = kernelmatrix(k, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(K, _np_pairwise(oracle, x, y), atol=1e-8)
+    # diag path agrees with dense path
+    Kx = kernelmatrix(k, jnp.asarray(x))
+    np.testing.assert_allclose(
+        kernelmatrix_diag(k, jnp.asarray(x)), np.diagonal(Kx), atol=1e-10
+    )
+    d = kernelmatrix_diag(k, jnp.asarray(x[:5]), jnp.asarray(y))
+    np.testing.assert_allclose(d, np.diagonal(_np_pairwise(oracle, x[:5], y)), atol=1e-8)
+
+
+def test_white_kernel(rng):
+    x = jnp.asarray(rng.normal(size=6))
+    K = kernelmatrix(st.WhiteKernel(), x)
+    np.testing.assert_allclose(K, np.eye(6), atol=0)
+    # cross: value-equality semantics
+    y = jnp.concatenate([x[:2], jnp.asarray(rng.normal(size=3))])
+    Kxy = kernelmatrix(st.WhiteKernel(), x, y)
+    assert Kxy[0, 0] == 1.0 and Kxy[1, 1] == 1.0 and Kxy[2, 2] == 0.0
+
+
+def test_kernel_algebra(rng):
+    x = jnp.asarray(rng.normal(size=6))
+    k1, k2 = st.SEKernel(), st.Matern32Kernel()
+    np.testing.assert_allclose(
+        kernelmatrix(k1 + k2, x), kernelmatrix(k1, x) + kernelmatrix(k2, x), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        kernelmatrix(k1 * k2, x), kernelmatrix(k1, x) * kernelmatrix(k2, x), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        kernelmatrix(2.5 * k1, x), 2.5 * kernelmatrix(k1, x), atol=1e-12
+    )
+
+
+def test_with_lengthscale(rng):
+    x = jnp.asarray(rng.normal(size=6))
+    k = st.with_lengthscale(st.SEKernel(), 0.5)
+    np.testing.assert_allclose(
+        kernelmatrix(k, x), kernelmatrix(st.SEKernel(), x / 0.5), atol=1e-12
+    )
+    # per-dim lengthscales (ARD)
+    X = jnp.asarray(rng.normal(size=(5, 2)))
+    ell = jnp.asarray([0.5, 2.0])
+    k2 = st.with_lengthscale(st.SEKernel(), ell)
+    np.testing.assert_allclose(
+        kernelmatrix(k2, X), kernelmatrix(st.SEKernel(), X / ell[None, :]), atol=1e-12
+    )
+
+
+def test_matern_gradient_at_zero_distance(rng):
+    """Matern kernels must have finite grads on the diagonal (d=0)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=4))
+    for k in [st.Matern12Kernel(), st.Matern32Kernel(), st.Matern52Kernel()]:
+        g = jax.grad(lambda x_: jnp.sum(kernelmatrix(k, x_)))(x)
+        assert np.all(np.isfinite(g)), f"{type(k).__name__} grad not finite"
+
+
+def test_dtype_stability(rng):
+    """Float32 in → Float32 out (reference test/gp/util.jl:76-89)."""
+    x32 = jnp.asarray(rng.normal(size=5), dtype=jnp.float32)
+    K = kernelmatrix(st.SEKernel(), x32)
+    assert K.dtype == jnp.float32
+    x64 = jnp.asarray(rng.normal(size=5), dtype=jnp.float64)
+    assert kernelmatrix(st.Matern52Kernel(), x64).dtype == jnp.float64
