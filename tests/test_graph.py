@@ -1,0 +1,189 @@
+"""Process-graph IR tests — algebraic oracle tests for every affine op
+(reference test pattern: test/affine_transformations/*.jl) plus the
+interface-conformance suite run against each op (test/test_util.jl:113-168)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import stheno_tpu as st
+from stheno_tpu.graph import GPC, cross_cov, cross_var, cross
+from stheno_tpu.kernels import kernelmatrix
+from stheno_tpu.utils.testing import check_process_interface
+from stheno_tpu.inputs import BlockData
+
+
+@pytest.fixture
+def xs(rng):
+    return (
+        jnp.asarray(rng.normal(size=5)),
+        jnp.asarray(rng.normal(size=5)),
+        jnp.asarray(rng.normal(size=4)),
+    )
+
+
+def _two_gps():
+    gpc = GPC()
+    f1 = st.GP(st.SEKernel(), gpc=gpc)
+    f2 = st.GP(st.Matern32Kernel(), gpc=gpc)
+    return gpc, f1, f2
+
+
+def test_atomic_independence(xs):
+    """Cross-cov between distinct atomics is identically zero
+    (atomic_gp.jl:36-41)."""
+    x0, x1, x2 = xs
+    _, f1, f2 = _two_gps()
+    np.testing.assert_array_equal(cross_cov(f1, f2, x0, x2), np.zeros((5, 4)))
+    np.testing.assert_array_equal(cross_var(f1, f2, x0, x1), np.zeros(5))
+    # self-cov is the kernel matrix
+    np.testing.assert_allclose(f1.cov(x0), kernelmatrix(st.SEKernel(), x0))
+    check_process_interface(f1, x0, x1, x2, f2=f2)
+
+
+def test_addition_oracle(xs):
+    """cov(f1+f2) = K1 + K2 when independent; cross-terms with
+    sums-of-sums (addition.jl:28-54; test pattern addition.jl:12-23)."""
+    x0, x1, x2 = xs
+    _, f1, f2 = _two_gps()
+    f3 = f1 + f2
+    K1 = f1.cov(x0)
+    K2 = f2.cov(x0)
+    np.testing.assert_allclose(f3.cov(x0), K1 + K2, atol=1e-12)
+    # cov(f3, f1) = K1 (cross-term with one parent)
+    np.testing.assert_allclose(cross_cov(f3, f1, x0, x0), K1, atol=1e-12)
+    np.testing.assert_allclose(cross_cov(f1, f3, x0, x0), K1, atol=1e-12)
+    # f4 = f3 + f1 has cov = K3 + K1 + 2*cov(f3,f1) = K1+K2+K1+2K1
+    f4 = f3 + f1
+    np.testing.assert_allclose(f4.cov(x0), K2 + 4 * K1, atol=1e-12)
+    check_process_interface(f3, x0, x1, x2, f2=f1)
+    check_process_interface(f4, x0, x1, x2, f2=f3)
+
+
+def test_subtraction_and_mean_shift(xs):
+    x0, x1, x2 = xs
+    _, f1, f2 = _two_gps()
+    g = f1 - f1
+    np.testing.assert_allclose(g.cov(x0), np.zeros((5, 5)), atol=1e-12)
+    np.testing.assert_allclose(g.mean(x0), np.zeros(5), atol=1e-12)
+    # b + f shifts mean only (addition.jl:62-87)
+    h = 3.5 + f1
+    np.testing.assert_allclose(h.mean(x0), 3.5 * np.ones(5), atol=1e-12)
+    np.testing.assert_allclose(h.cov(x0), f1.cov(x0), atol=1e-12)
+    # function shift
+    hf = (lambda x: jnp.sin(x)) + f1
+    np.testing.assert_allclose(hf.mean(x0), np.sin(x0), atol=1e-12)
+    np.testing.assert_allclose(hf.cov(x0), f1.cov(x0), atol=1e-12)
+    check_process_interface(h, x0, x1, x2, f2=f1)
+    check_process_interface(hf, x0, x1, x2, f2=f2)
+
+
+def test_product_oracle(xs):
+    """Scaling powers c, c², through nested products (product.jl test
+    pattern :23-40)."""
+    x0, x1, x2 = xs
+    _, f1, f2 = _two_gps()
+    c = 2.5
+    g = c * f1
+    np.testing.assert_allclose(g.cov(x0), c**2 * f1.cov(x0), atol=1e-12)
+    np.testing.assert_allclose(
+        cross_cov(g, f1, x0, x0), c * f1.cov(x0), atol=1e-12
+    )
+    g2 = c * g  # c² overall
+    np.testing.assert_allclose(g2.cov(x0), c**4 * f1.cov(x0), atol=1e-12)
+    # function scaling: σ(x) K σ(x')ᵀ (product.jl:27-38)
+    sig = lambda x: jnp.cos(x)
+    h = f1 * sig
+    s0 = np.cos(x0)
+    np.testing.assert_allclose(
+        h.cov(x0), s0[:, None] * np.asarray(f1.cov(x0)) * s0[None, :], atol=1e-12
+    )
+    np.testing.assert_allclose(h.mean(x0), s0 * np.asarray(f1.mean(x0)), atol=1e-12)
+    # negation
+    n = -f1
+    np.testing.assert_allclose(n.cov(x0), f1.cov(x0), atol=1e-12)
+    np.testing.assert_allclose(
+        cross_cov(n, f1, x0, x0), -np.asarray(f1.cov(x0)), atol=1e-12
+    )
+    check_process_interface(g, x0, x1, x2, f2=f1)
+    check_process_interface(h, x0, x1, x2, f2=f2)
+
+
+def test_gp_times_gp_raises():
+    _, f1, f2 = _two_gps()
+    with pytest.raises(TypeError):
+        f1 * f2
+
+
+def test_compose_oracle(xs):
+    """compose ≡ eval at warped inputs (compose.jl test :10-21)."""
+    x0, x1, x2 = xs
+    _, f1, f2 = _two_gps()
+    g = st.stretch(f1, 0.5)
+    np.testing.assert_allclose(g.cov(x0), f1.cov(0.5 * x0), atol=1e-12)
+    s = st.shift(f1, 1.2)
+    np.testing.assert_allclose(s.cov(x0), f1.cov(x0 - 1.2), atol=1e-12)
+    p = st.periodic(f1, 0.7)
+    emb = jnp.stack(
+        [jnp.cos(2 * jnp.pi * 0.7 * x0), jnp.sin(2 * jnp.pi * 0.7 * x0)], axis=-1
+    )
+    np.testing.assert_allclose(p.cov(x0), f1.cov(emb), atol=1e-12)
+    check_process_interface(g, x0, x1, x2, f2=f1)
+    check_process_interface(p, x0, x1, x2, f2=f2)
+    # cross between composed and parent: cov(f∘w, f, x, x2) = k(w(x), x2)
+    np.testing.assert_allclose(
+        cross_cov(g, f1, x0, x2),
+        kernelmatrix(st.SEKernel(), 0.5 * x0, x2),
+        atol=1e-12,
+    )
+
+
+def test_select_and_additive(rng):
+    X = jnp.asarray(rng.normal(size=(6, 2)))
+    gpc = GPC()
+    f1 = st.GP(st.SEKernel(), gpc=gpc)
+    f2 = st.GP(st.Matern52Kernel(), gpc=gpc)
+    g = st.additive_gp([f1, f2], [0, 1])
+    K = g.cov(X)
+    K_expected = kernelmatrix(st.SEKernel(), X[:, 0]) + kernelmatrix(
+        st.Matern52Kernel(), X[:, 1]
+    )
+    np.testing.assert_allclose(K, K_expected, atol=1e-12)
+
+
+def test_cross_block_assembly(xs):
+    """cross ≡ vcat of per-process stats (cross.jl test :34-50)."""
+    x0, x1, x2 = xs
+    _, f1, f2 = _two_gps()
+    f3 = f1 + f2
+    c = cross([f1, f3])
+    bd = BlockData(x0, x2)
+    m = c.mean(bd)
+    np.testing.assert_allclose(
+        m, np.concatenate([f1.mean(x0), f3.mean(x2)]), atol=1e-12
+    )
+    K = c.cov(bd)
+    K11 = np.asarray(f1.cov(x0))
+    K22 = np.asarray(f3.cov(x2))
+    K12 = np.asarray(cross_cov(f1, f3, x0, x2))
+    np.testing.assert_allclose(
+        K, np.block([[K11, K12], [K12.T, K22]]), atol=1e-12
+    )
+    v = c.var(bd)
+    np.testing.assert_allclose(v, np.diagonal(K), atol=1e-10)
+    # cross vs single process
+    C = cross_cov(c, f1, bd, x1)
+    np.testing.assert_allclose(
+        C,
+        np.vstack([f1.cov2(x0, x1), cross_cov(f3, f1, x2, x1)]),
+        atol=1e-12,
+    )
+
+
+def test_ids_and_gpc_guards():
+    gpc1, f1, f2 = _two_gps()
+    gpc2 = GPC()
+    g = st.GP(st.SEKernel(), gpc=gpc2)
+    with pytest.raises(ValueError):
+        f1 + g
+    assert f1.n < f2.n < (f1 + f2).n
