@@ -1,0 +1,35 @@
+"""First-class inference engines (the reference delegates these to its
+ecosystem — README.md:243-258; here they are in-library, SURVEY.md §2.3).
+
+- `hmc` — NUTS / HMC with Stan-style window adaptation, vmapped chains
+- `vi`  — optax optimisation loops for nlml / ELBO objectives
+- `smc` — adaptive-tempering SMC with systematic resampling
+- `diagnostics` — split-R̂ and bulk ESS (on-device)
+"""
+
+from stheno_tpu.inference.hmc import (
+    nuts_kernel,
+    hmc_kernel,
+    run_nuts,
+    NUTSInfo,
+)
+from stheno_tpu.inference.vi import fit, fit_lbfgs, FitResult
+from stheno_tpu.inference.smc import run_smc, SMCResult
+from stheno_tpu.inference.diagnostics import (
+    effective_sample_size,
+    potential_scale_reduction,
+)
+
+__all__ = [
+    "nuts_kernel",
+    "hmc_kernel",
+    "run_nuts",
+    "NUTSInfo",
+    "fit",
+    "fit_lbfgs",
+    "FitResult",
+    "run_smc",
+    "SMCResult",
+    "effective_sample_size",
+    "potential_scale_reduction",
+]

@@ -1,0 +1,197 @@
+"""Inference engines: NUTS/HMC statistical correctness on known targets,
+window adaptation, diagnostics, optimisation loops, SMC evidence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import stheno_tpu as st
+from stheno_tpu import params as P
+from stheno_tpu.inference import (
+    run_nuts,
+    run_smc,
+    fit,
+    fit_lbfgs,
+    effective_sample_size,
+    potential_scale_reduction,
+)
+
+
+def test_nuts_standard_normal(key):
+    """NUTS recovers a 5-D standard normal."""
+    d = 5
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    samples, info = run_nuts(
+        key, logp, jnp.zeros(d), num_warmup=400, num_samples=800, num_chains=4
+    )
+    s = np.asarray(samples).reshape(-1, d)
+    assert s.shape == (3200, d)
+    np.testing.assert_allclose(s.mean(0), np.zeros(d), atol=0.1)
+    np.testing.assert_allclose(s.std(0), np.ones(d), atol=0.1)
+    assert np.asarray(info.diverging).mean() < 0.01
+    # adaptation hit the target acceptance ballpark
+    acc = np.asarray(info.accept_prob).mean()
+    assert 0.6 < acc <= 1.0
+
+
+def test_nuts_correlated_gaussian(key):
+    """Anisotropic + correlated target: exercises mass adaptation and
+    U-turn machinery."""
+    cov = np.array([[4.0, 1.8], [1.8, 1.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(q):
+        return -0.5 * q @ prec @ q
+
+    samples, info = run_nuts(
+        key, logp, jnp.zeros(2), num_warmup=500, num_samples=1000, num_chains=4
+    )
+    s = np.asarray(samples).reshape(-1, 2)
+    emp = np.cov(s.T)
+    np.testing.assert_allclose(emp, cov, rtol=0.15, atol=0.1)
+    rhat = potential_scale_reduction(np.asarray(samples)[..., 0])
+    assert float(rhat) < 1.02
+
+
+def test_nuts_pytree_positions(key):
+    """Pytree positions round-trip through ravel."""
+
+    def logp(q):
+        return -0.5 * jnp.sum(q["a"] ** 2) - 0.5 * jnp.sum((q["b"] - 1.0) ** 2)
+
+    init = dict(a=jnp.zeros(2), b=jnp.zeros(3))
+    samples, _ = run_nuts(
+        key, logp, init, num_warmup=300, num_samples=500, num_chains=2
+    )
+    assert samples["a"].shape == (2, 500, 2)
+    np.testing.assert_allclose(
+        np.asarray(samples["b"]).mean((0, 1)), np.ones(3), atol=0.15
+    )
+
+
+def test_hmc_kernel_standard_normal(key):
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    samples, info = run_nuts(
+        key,
+        logp,
+        jnp.zeros(3),
+        num_warmup=300,
+        num_samples=800,
+        num_chains=4,
+        kernel="hmc",
+        num_hmc_steps=16,
+    )
+    s = np.asarray(samples).reshape(-1, 3)
+    np.testing.assert_allclose(s.mean(0), np.zeros(3), atol=0.12)
+    np.testing.assert_allclose(s.std(0), np.ones(3), atol=0.12)
+
+
+def test_diagnostics_iid(key):
+    """ESS of iid samples ≈ C*S; R-hat ≈ 1."""
+    x = jax.random.normal(key, (4, 1000))
+    ess = effective_sample_size(x)
+    assert float(ess) > 2000
+    rhat = potential_scale_reduction(x)
+    np.testing.assert_allclose(float(rhat), 1.0, atol=0.02)
+    # strongly autocorrelated chains → low ESS
+    ar = np.zeros((4, 1000))
+    noise = np.asarray(jax.random.normal(key, (4, 1000)))
+    for t in range(1, 1000):
+        ar[:, t] = 0.99 * ar[:, t - 1] + 0.1 * noise[:, t]
+    ess_ar = effective_sample_size(jnp.asarray(ar))
+    assert float(ess_ar) < 500
+
+
+def test_params_roundtrip():
+    spec = dict(
+        v=P.positive(2.0),
+        l=P.positive(0.5, lb=1e-3),
+        w=P.bounded(0.3, 0.0, 1.0),
+        m=jnp.asarray([1.0, -1.0]),
+        z=P.fixed(jnp.linspace(0, 1, 4)),
+    )
+    theta0, unflatten = P.init(spec)
+    vals = unflatten(theta0)
+    np.testing.assert_allclose(vals["v"], 2.0, rtol=1e-6)
+    np.testing.assert_allclose(vals["l"], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(vals["w"], 0.3, rtol=1e-6)
+    np.testing.assert_allclose(vals["m"], [1.0, -1.0])
+    np.testing.assert_allclose(vals["z"], np.linspace(0, 1, 4))
+    # fixed leaves are not in theta
+    assert theta0.shape == (5,)  # v, l, w, m(2)
+    # constrained stay in range when theta moves
+    vals2 = unflatten(theta0 - 100.0)
+    assert vals2["v"] > 0 and vals2["l"] >= 1e-3 and 0 < vals2["w"] < 1
+
+
+def test_fit_recovers_hyperparameters(rng, key):
+    """Adam fit of nlml recovers known kernel hyperparameters (the
+    getting_started workload pattern)."""
+    x = jnp.asarray(np.sort(rng.uniform(-5, 5, 120)))
+    true_v, true_l, true_noise = 2.0, 1.5, 0.1
+    k_true = true_v * st.with_lengthscale(st.SEKernel(), true_l)
+    from stheno_tpu.graph import GPC
+    gpc = GPC()
+    f_true = st.GP(k_true, gpc=gpc)
+    y = st.rand(key, f_true(x, true_noise))
+
+    @st.gppp
+    def build(p):
+        return dict(f=st.GP(p["v"] * st.with_lengthscale(st.SEKernel(), p["l"])))
+
+    def nlml(p):
+        f = build(p)
+        return -st.logpdf(f(st.GPPPInput("f", x), p["noise"]), y)
+
+    spec = dict(v=P.positive(1.0), l=P.positive(1.0), noise=P.positive(0.5))
+    res = fit(nlml, spec, num_steps=400, learning_rate=5e-2)
+    assert res.losses[-1] < res.losses[0]
+    # loose recovery bounds (single realisation)
+    assert 0.5 < float(res.params["l"]) < 4.0
+    assert float(res.params["noise"]) < 0.5
+
+
+def test_fit_lbfgs_quadratic():
+    target = jnp.asarray([1.0, -2.0, 3.0])
+
+    def obj(p):
+        return jnp.sum((p["x"] - target) ** 2)
+
+    res = fit_lbfgs(obj, dict(x=jnp.zeros(3)), num_steps=50)
+    np.testing.assert_allclose(res.params["x"], target, atol=1e-6)
+
+
+def test_smc_gaussian_evidence(key):
+    """SMC on conjugate Gaussian: evidence and posterior moments known in
+    closed form.  Prior N(0,1), likelihood N(y=1 | q, 1) per dim."""
+    d = 2
+    y = 1.0
+
+    def loglike(q):
+        return -0.5 * jnp.sum((q - y) ** 2) - 0.5 * d * jnp.log(2 * jnp.pi)
+
+    def logprior(q):
+        return -0.5 * jnp.sum(q**2) - 0.5 * d * jnp.log(2 * jnp.pi)
+
+    P_ = 2000
+    init = jax.random.normal(key, (P_, d))
+    res = run_smc(
+        jax.random.PRNGKey(3), loglike, logprior, init, num_mcmc=5,
+        hmc_step_size=0.5, hmc_num_steps=8,
+    )
+    # posterior = N(y/2, 1/2); evidence = N(y; 0, 2) per dim
+    log_Z = d * (-0.5 * np.log(2 * np.pi * 2) - y**2 / 4)
+    assert float(res.particles.std()) > 0.1  # particles not collapsed
+    np.testing.assert_allclose(res.particles.mean(0), [0.5, 0.5], atol=0.1)
+    np.testing.assert_allclose(
+        res.particles.std(0), np.sqrt(0.5) * np.ones(2), atol=0.1
+    )
+    np.testing.assert_allclose(float(res.log_evidence), log_Z, atol=0.15)
+    assert int(res.num_stages) >= 1
+    assert float(res.beta_history[int(res.num_stages) - 1]) == 1.0
