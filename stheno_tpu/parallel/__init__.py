@@ -1,0 +1,38 @@
+"""Multi-chip distribution: mesh helpers, sharded chains (DP), row-sharded
+kernel matrices + distributed Cholesky (TP / SP-analogue).  See SURVEY.md
+§2.3 for the mapping from the parallelism template to this GP framework."""
+
+from stheno_tpu.parallel.mesh import (
+    chains_mesh,
+    rows_mesh,
+    grid_mesh,
+    shard_rows,
+)
+from stheno_tpu.parallel.chains import run_nuts_sharded, run_smc_sharded
+from stheno_tpu.parallel.cholesky import (
+    distributed_cholesky,
+    distributed_solve_lower,
+    distributed_logdet_chol,
+    distributed_mvn_logpdf,
+)
+from stheno_tpu.parallel.big import (
+    sharded_kernelmatrix,
+    sharded_matvec,
+    big_gp_logpdf,
+)
+
+__all__ = [
+    "chains_mesh",
+    "rows_mesh",
+    "grid_mesh",
+    "shard_rows",
+    "run_nuts_sharded",
+    "run_smc_sharded",
+    "distributed_cholesky",
+    "distributed_solve_lower",
+    "distributed_logdet_chol",
+    "distributed_mvn_logpdf",
+    "sharded_kernelmatrix",
+    "sharded_matvec",
+    "big_gp_logpdf",
+]
