@@ -1,0 +1,134 @@
+"""Blocked left-looking Cholesky + blocked triangular solves with MXU-sized
+panels — a JAX/XLA-structured replacement for `lax.linalg.cholesky` tuned for
+TPU at large N.
+
+Why: XLA's built-in TPU Cholesky uses a fixed small internal block, leaving
+the MXU underfed at N ≳ 10⁴ (measured ~10× off roofline on the N=16k
+logpdf+grad pipeline, BASELINE.md).  This implementation restructures the
+factorisation so ~all FLOPs land in large static-shape GEMMs:
+
+- panels of `block` columns (default 1024); the per-step update
+  `A[c:, c:c+B] -= L[c:, :c] @ L[c:c+B, :c]ᵀ` is one big MXU matmul per step;
+- the diagonal B×B factorisation recurses on this same routine down to a base
+  case handled by `lax.linalg.cholesky` (small enough to be cheap);
+- the TRSM `L21 = A21 L11⁻ᵀ` is computed as a *matmul with the explicit
+  triangular inverse* (`triangular_solve` against I at B×B is cheap; applying
+  it as a GEMM keeps the N-tall panel on the MXU rather than in XLA's
+  sequential TRSM);
+- the Python loop over panels is statically unrolled (N/B ≤ ~32 steps), so
+  every slice has static shape — no masking waste, exact N³/3 FLOPs.
+
+Everything is differentiable (pure jnp/lax ops) — `jax.grad` through the
+unrolled factorisation has the same GEMM structure.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+# TPU MXU matmuls on f32 inputs default to bf16-class passes; the
+# left-looking accumulation needs true f32 — errors otherwise drive late
+# diagonal blocks indefinite and the factorisation NaNs (observed at N=16k).
+_PREC = lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+def _tri_inv_lower(L):
+    """Explicit inverse of a small lower-triangular matrix via TRSM vs I."""
+    n = L.shape[-1]
+    eye = jnp.eye(n, dtype=L.dtype)
+    return lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+
+
+def blocked_cholesky(A, block=1024, base=256):
+    """Lower Cholesky factor of PSD `A` (N×N, N a multiple of `base` ideally;
+    any N works — falls back to lax for the ragged tail)."""
+    n = A.shape[-1]
+    if n <= base:
+        return lax.linalg.cholesky(A)
+    # panel width: ≤ n/2 (so recursion strictly shrinks), multiple of 64 for
+    # clean MXU tiling
+    B = (min(block, n // 2) // 64) * 64
+    if B == 0 or n % B != 0:
+        # ragged: fall back (callers pad to MXU-friendly sizes for speed)
+        return lax.linalg.cholesky(A)
+
+    nb = n // B
+    L = jnp.zeros_like(A)
+    for kb in range(nb):
+        c = kb * B
+        # left-looking update of the current panel using finished columns
+        A_panel = lax.dynamic_slice(A, (c, c), (n - c, B))
+        if kb > 0:
+            rows = lax.dynamic_slice(L, (c, 0), (n - c, c))
+            top = lax.dynamic_slice(L, (c, 0), (B, c))
+            A_panel = A_panel - _mm(rows, top.T)
+        # factor the diagonal block (recursive, ends in lax at ≤ base)
+        A11 = A_panel[:B]
+        L11 = blocked_cholesky(A11, block=max(base, B // 4), base=base)
+        out_panel = L11
+        if n - c > B:
+            A21 = A_panel[B:]
+            L21 = _mm(A21, _tri_inv_lower(L11).T)
+            out_panel = jnp.concatenate([L11, L21], axis=0)
+        L = lax.dynamic_update_slice(L, out_panel, (c, c))
+    return L
+
+
+def blocked_solve_lower(L, b, block=1024):
+    """Solve L x = b (b: (N,) or (N, K)) by blocked forward substitution;
+    the off-diagonal applications are GEMMs."""
+    n = L.shape[-1]
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    B = min(block, n)
+    if n % B != 0:
+        x = lax.linalg.triangular_solve(L, b, left_side=True, lower=True)
+        return x[:, 0] if vec else x
+    nb = n // B
+    x = jnp.zeros_like(b)
+    for kb in range(nb):
+        c = kb * B
+        rhs = lax.dynamic_slice(b, (c, 0), (B, b.shape[1]))
+        if kb > 0:
+            row = lax.dynamic_slice(L, (c, 0), (B, c))
+            xdone = x[:c]
+            rhs = rhs - _mm(row, xdone)
+        Lkk = lax.dynamic_slice(L, (c, c), (B, B))
+        xk = lax.linalg.triangular_solve(Lkk, rhs, left_side=True, lower=True)
+        x = lax.dynamic_update_slice(x, xk, (c, 0))
+    return x[:, 0] if vec else x
+
+
+def blocked_solve_upper_T(L, b, block=1024):
+    """Solve Lᵀ x = b by blocked backward substitution (L lower)."""
+    n = L.shape[-1]
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    B = min(block, n)
+    if n % B != 0:
+        x = lax.linalg.triangular_solve(
+            L, b, left_side=True, lower=True, transpose_a=True
+        )
+        return x[:, 0] if vec else x
+    nb = n // B
+    x = jnp.zeros_like(b)
+    for kb in reversed(range(nb)):
+        c = kb * B
+        rhs = lax.dynamic_slice(b, (c, 0), (B, b.shape[1]))
+        if kb < nb - 1:
+            col = lax.dynamic_slice(L, (c + B, c), (n - c - B, B))
+            xdone = x[c + B :]
+            rhs = rhs - _mm(col.T, xdone)
+        Lkk = lax.dynamic_slice(L, (c, c), (B, B))
+        xk = lax.linalg.triangular_solve(
+            Lkk, rhs, left_side=True, lower=True, transpose_a=True
+        )
+        x = lax.dynamic_update_slice(x, xk, (c, 0))
+    return x[:, 0] if vec else x

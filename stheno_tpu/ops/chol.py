@@ -29,15 +29,16 @@ def add_jitter(K, jitter):
     return K + jitter * jnp.eye(n, dtype=K.dtype)
 
 
-def cholesky_psd(K, jitter=0.0):
+def cholesky_psd(K, jitter=None):
     """Lower Cholesky factor of a (batched) PSD matrix, symmetrised first.
 
     The reference symmetrises with `Symmetric(K)` before `cholesky`
     (AbstractGPs path, SURVEY.md §3.2); we do the same to wash out
-    antisymmetric floating-point noise from block assembly.
+    antisymmetric floating-point noise from block assembly.  `jitter` may be
+    a traced scalar (jit-safe).
     """
     K = symmetrize(K)
-    if jitter:
+    if jitter is not None:
         K = add_jitter(K, jnp.asarray(jitter, dtype=K.dtype))
     return lax.linalg.cholesky(K)
 
