@@ -21,7 +21,7 @@ AbstractGPs / KernelFunctions verbs its examples exercise):
 from stheno_tpu.kernels import *  # noqa: F401,F403
 from stheno_tpu.kernels import __all__ as _kernels_all
 from stheno_tpu.means import ZeroMean, ConstMean, FunctionMean
-from stheno_tpu.inputs import GPPPInput, BlockData, split, vcat
+from stheno_tpu.inputs import GPPPInput, BlockData, split, vcat, ColVecs, RowVecs
 from stheno_tpu.graph import (
     GPC,
     GP,
@@ -43,6 +43,9 @@ from stheno_tpu.graph import (
     Shift,
 )
 from stheno_tpu.gppp import GPPP, gppp
+
+#: Full reference name (GaussianProcessProbabilisticProgramme == GPPP)
+GaussianProcessProbabilisticProgramme = GPPP
 from stheno_tpu.finite_gp import (
     FiniteGP,
     DiagNoise,
@@ -60,6 +63,7 @@ from stheno_tpu.finite_gp import (
     PosteriorGP,
     VFE,
     elbo,
+    elbo_fx,
     posterior_vfe,
     ApproxPosteriorGP,
     SparseFiniteGP,
@@ -75,6 +79,8 @@ __all__ = list(_kernels_all) + [
     "BlockData",
     "split",
     "vcat",
+    "ColVecs",
+    "RowVecs",
     "GPC",
     "GP",
     "atomic",
@@ -95,6 +101,7 @@ __all__ = list(_kernels_all) + [
     "Shift",
     "GPPP",
     "gppp",
+    "GaussianProcessProbabilisticProgramme",
     "FiniteGP",
     "DiagNoise",
     "FullNoise",
@@ -111,6 +118,7 @@ __all__ = list(_kernels_all) + [
     "PosteriorGP",
     "VFE",
     "elbo",
+    "elbo_fx",
     "posterior_vfe",
     "ApproxPosteriorGP",
     "SparseFiniteGP",

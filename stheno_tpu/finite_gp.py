@@ -330,6 +330,12 @@ def _cross_cov_any(f, x_f, g, x_g):
     )
 
 
+def elbo_fx(fx: FiniteGP, y, u: FiniteGP):
+    """AbstractGPs-style convenience `elbo(fx, y, u)` (reference
+    README.md:78): equivalent to `elbo(VFE(u), fx, y)`."""
+    return elbo(VFE(u), fx, y)
+
+
 def elbo(approx: VFE, fx: FiniteGP, y):
     """Titsias collapsed ELBO — a lower bound on `logpdf(fx, y)`.
 

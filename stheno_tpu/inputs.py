@@ -95,3 +95,21 @@ def vcat(*xs):
     """Concatenate GPPPInputs into a BlockData (reference
     `Base.vcat(::GPPPInput...)`, src/input_collection_types.jl:93-95)."""
     return BlockData(*xs)
+
+
+def ColVecs(X):
+    """KernelFunctions.jl `ColVecs` convention: a D×N matrix whose COLUMNS
+    are the input points.  Returns the framework's native (N, D) layout."""
+    X = jnp.asarray(X)
+    if X.ndim != 2:
+        raise ValueError("ColVecs expects a 2-D matrix (D, N)")
+    return X.T
+
+
+def RowVecs(X):
+    """KernelFunctions.jl `RowVecs` convention: an N×D matrix whose ROWS are
+    the input points — already the native layout."""
+    X = jnp.asarray(X)
+    if X.ndim != 2:
+        raise ValueError("RowVecs expects a 2-D matrix (N, D)")
+    return X

@@ -44,9 +44,26 @@ def _tri_inv_lower(L):
     return lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def blocked_cholesky(A, block=1024, base=256):
     """Lower Cholesky factor of PSD `A` (N×N, N a multiple of `base` ideally;
-    any N works — falls back to lax for the ragged tail)."""
+    any N works — falls back to lax for the ragged tail).
+
+    Carries a custom VJP (the closed-form Cholesky reverse rule, Murray 2016)
+    expressed with the *blocked* triangular solves below: the backward pass is
+    two N-wide TRSMs on the MXU instead of autodiff through every unrolled
+    panel — ~order-of-magnitude smaller graph and backward FLOPs that match
+    lax's rule while keeping the fast forward.
+    """
+    return _blocked_cholesky_impl(A, block, base)
+
+
+def _blocked_cholesky_impl(A, block=1024, base=256):
     n = A.shape[-1]
     if n <= base:
         return lax.linalg.cholesky(A)
@@ -69,7 +86,7 @@ def blocked_cholesky(A, block=1024, base=256):
             A_panel = A_panel - _mm(rows, top.T)
         # factor the diagonal block (recursive, ends in lax at ≤ base)
         A11 = A_panel[:B]
-        L11 = blocked_cholesky(A11, block=max(base, B // 4), base=base)
+        L11 = _blocked_cholesky_impl(A11, block=max(base, B // 4), base=base)
         out_panel = L11
         if n - c > B:
             A21 = A_panel[B:]
@@ -77,6 +94,59 @@ def blocked_cholesky(A, block=1024, base=256):
             out_panel = jnp.concatenate([L11, L21], axis=0)
         L = lax.dynamic_update_slice(L, out_panel, (c, c))
     return L
+
+
+def _blocked_cholesky_fwd(A, block, base):
+    L = _blocked_cholesky_impl(A, block, base)
+    return L, L
+
+
+def _phi(M):
+    """Lower triangle with halved diagonal (the Cholesky-pullback projector)."""
+    n = M.shape[-1]
+    tril = jnp.tril(M)
+    return tril - 0.5 * jnp.diagonal(M)[..., None] * jnp.eye(n, dtype=M.dtype)
+
+
+def blocked_tri_inv_lower(L, base=512):
+    """Explicit inverse of a lower-triangular matrix by recursive 2-way
+    splitting — all off-diagonal work is GEMMs:
+
+        inv([[A, 0], [B, C]]) = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]]
+
+    Used by the Cholesky backward pass, where applying L⁻ᵀ to an N-wide
+    right-hand side as a matmul vastly outruns XLA's sequential TRSM.
+    """
+    n = L.shape[-1]
+    if n <= base:
+        return _tri_inv_lower(L)
+    h = ((n // 2) // 64) * 64
+    if h == 0 or n - h <= 0:
+        return _tri_inv_lower(L)
+    A = L[:h, :h]
+    B = L[h:, :h]
+    C = L[h:, h:]
+    Ai = blocked_tri_inv_lower(A, base=base)
+    Ci = blocked_tri_inv_lower(C, base=base)
+    BL = -_mm(Ci, _mm(B, Ai))
+    top = jnp.concatenate([Ai, jnp.zeros((h, n - h), L.dtype)], axis=1)
+    bot = jnp.concatenate([BL, Ci], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _blocked_cholesky_bwd(block, base, L, L_bar):
+    """Reverse rule: K̄ = ½ sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹), computed as three GEMMs
+    against the explicit blocked triangular inverse (MXU-resident end to
+    end)."""
+    P = _phi(_mm(L.T, L_bar))
+    Li = blocked_tri_inv_lower(L)
+    W = _mm(Li.T, P)            # L⁻ᵀ P
+    K_bar = _mm(W, Li)          # W L⁻¹
+    K_bar = 0.5 * (K_bar + K_bar.T)
+    return (K_bar,)
+
+
+blocked_cholesky.defvjp(_blocked_cholesky_fwd, _blocked_cholesky_bwd)
 
 
 def blocked_solve_lower(L, b, block=1024):

@@ -97,3 +97,19 @@ def test_pallas_kernelmatrix_ard(rng):
                               tile_m=128, tile_n=128)
     K_ref = 2.0 * st.kernelmatrix(st.with_lengthscale(st.SEKernel(), ell), x)
     np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref), atol=1e-5)
+
+
+def test_blocked_cholesky_custom_vjp_random_cotangent(rng):
+    """Custom VJP vs lax autodiff under an arbitrary cotangent."""
+    n = 256
+    K = _psd(rng, n)
+    ct = jnp.asarray(rng.normal(size=(n, n)))
+
+    _, vjp_b = jax.vjp(lambda A: blocked_cholesky(A, block=128, base=64), K)
+    _, vjp_l = jax.vjp(jnp.linalg.cholesky, K)
+    gb = vjp_b(ct)[0]
+    gl = vjp_l(ct)[0]
+    # conventions may differ by symmetrization; compare symmetrized pullbacks
+    gb_s = 0.5 * (gb + gb.T)
+    gl_s = 0.5 * (gl + gl.T)
+    np.testing.assert_allclose(np.asarray(gb_s), np.asarray(gl_s), atol=1e-8)
