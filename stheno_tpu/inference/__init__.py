@@ -12,6 +12,12 @@ from stheno_tpu.inference.hmc import (
     hmc_kernel,
     run_nuts,
     NUTSInfo,
+    ChainState,
+)
+from stheno_tpu.inference.checkpoint import (
+    save_checkpoint,
+    load_checkpoint,
+    checkpoint_step,
 )
 from stheno_tpu.inference.vi import fit, fit_lbfgs, FitResult
 from stheno_tpu.inference.smc import run_smc, SMCResult
@@ -25,6 +31,10 @@ __all__ = [
     "hmc_kernel",
     "run_nuts",
     "NUTSInfo",
+    "ChainState",
+    "save_checkpoint",
+    "load_checkpoint",
+    "checkpoint_step",
     "fit",
     "fit_lbfgs",
     "FitResult",

@@ -478,6 +478,17 @@ def _find_reasonable_eps(ld_and_grad, key, q, logp, grad, inv_mass):
     return jnp.where(going_up, eps * 0.5, eps)
 
 
+class ChainState(NamedTuple):
+    """Resumable per-chain sampler state (checkpointable pytree;
+    SURVEY.md §5 checkpoint/resume)."""
+
+    q: jnp.ndarray  # (C, d)
+    logp: jnp.ndarray  # (C,)
+    grad: jnp.ndarray  # (C, d)
+    eps: jnp.ndarray  # (C,) post-warmup step sizes
+    inv_mass: jnp.ndarray  # (C, d)
+
+
 def run_nuts(
     key,
     logdensity_fn,
@@ -490,7 +501,8 @@ def run_nuts(
     kernel="nuts",
     num_hmc_steps=32,
     init_jitter=1.0,
-    progress=None,
+    return_state=False,
+    resume_state: "ChainState | None" = None,
 ):
     """Run warmup + sampling for `num_chains` chains, vmapped.
 
@@ -501,6 +513,11 @@ def run_nuts(
     Returns `(samples, info)` where `samples` has shape
     (num_chains, num_samples, d) (or pytree-of-(C,S,...)) and `info` is a
     NUTSInfo of (num_chains, num_samples) arrays.
+
+    Checkpoint/resume: pass `return_state=True` to additionally receive a
+    `ChainState`; a later call with `resume_state=state` skips warmup and
+    continues sampling from it (combine with inference.checkpoint to persist
+    across process restarts).
     """
     flat0, unravel = jax.flatten_util.ravel_pytree(init_position)
     d = flat0.shape[0]
@@ -561,15 +578,45 @@ def run_nuts(
             return (q, logp, grad), (q, info)
 
         samp_keys = jax.random.split(k_samp, num_samples)
-        _, (qs, infos) = lax.scan(samp_body, (q, logp, grad), samp_keys)
-        return qs, infos
+        (q, logp, grad), (qs, infos) = lax.scan(
+            samp_body, (q, logp, grad), samp_keys
+        )
+        return qs, infos, (q, logp, grad, eps_final, inv_mass)
+
+    def sample_only(chain_key, q0, logp0, grad0, eps_final, inv_mass):
+        def samp_body(carry, k):
+            q, logp, grad = carry
+            q, logp, grad, info = step_fn(k, q, logp, grad, eps_final, inv_mass)
+            return (q, logp, grad), (q, info)
+
+        samp_keys = jax.random.split(chain_key, num_samples)
+        (q, logp, grad), (qs, infos) = lax.scan(
+            samp_body, (q0, logp0, grad0), samp_keys
+        )
+        return qs, infos, (q, logp, grad, eps_final, inv_mass)
 
     key_init, key_run = jax.random.split(key)
-    q_inits = flat0[None, :] + init_jitter * jax.random.normal(
-        key_init, (num_chains, d), dt
-    ).at[0].set(0.0)
     chain_keys = jax.random.split(key_run, num_chains)
 
-    qs, infos = jax.vmap(single_chain)(chain_keys, q_inits)
+    if resume_state is not None:
+        qs, infos, fin = jax.vmap(sample_only)(
+            chain_keys,
+            resume_state.q,
+            resume_state.logp,
+            resume_state.grad,
+            resume_state.eps,
+            resume_state.inv_mass,
+        )
+    else:
+        q_inits = flat0[None, :] + init_jitter * jax.random.normal(
+            key_init, (num_chains, d), dt
+        ).at[0].set(0.0)
+        qs, infos, fin = jax.vmap(single_chain)(chain_keys, q_inits)
+
     samples = jax.vmap(jax.vmap(unravel))(qs)
+    if return_state:
+        state = ChainState(
+            q=fin[0], logp=fin[1], grad=fin[2], eps=fin[3], inv_mass=fin[4]
+        )
+        return samples, infos, state
     return samples, infos

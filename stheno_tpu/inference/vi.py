@@ -38,10 +38,12 @@ def fit(
     optimizer=None,
     learning_rate=5e-2,
     unroll=1,
+    log_every=0,
 ):
     """Minimise `objective(constrained_params)` over the free leaves of
     `spec`.  Returns FitResult(final constrained params, flat theta, loss
-    trace).  The whole loop is one jitted lax.scan."""
+    trace).  The whole loop is one jitted lax.scan; `log_every=N` streams the
+    loss to stderr every N steps via an async host callback."""
     theta0, unflatten = P.init(spec)
     opt = optimizer if optimizer is not None else optax.adam(learning_rate)
 
@@ -52,15 +54,19 @@ def fit(
     def run(theta0):
         state0 = opt.init(theta0)
 
-        def step(carry, _):
+        def step(carry, i):
             theta, state = carry
             loss, g = vg(theta)
             updates, state = opt.update(g, state, theta)
             theta = optax.apply_updates(theta, updates)
+            if log_every:
+                from stheno_tpu.utils.logging import log_scalars
+
+                log_scalars("fit", step=i, every=log_every, loss=loss)
             return (theta, state), loss
 
         (theta, _), losses = jax.lax.scan(
-            step, (theta0, state0), None, length=num_steps, unroll=unroll
+            step, (theta0, state0), jnp.arange(num_steps), unroll=unroll
         )
         return theta, losses
 

@@ -195,3 +195,39 @@ def test_smc_gaussian_evidence(key):
     np.testing.assert_allclose(float(res.log_evidence), log_Z, atol=0.15)
     assert int(res.num_stages) >= 1
     assert float(res.beta_history[int(res.num_stages) - 1]) == 1.0
+
+
+def test_nuts_checkpoint_resume(key, tmp_path):
+    """Segmented sampling with checkpoint/restore across 'restarts'
+    (SURVEY.md §5 checkpoint/resume)."""
+    from stheno_tpu.inference import (
+        ChainState,
+        load_checkpoint,
+        run_nuts,
+        save_checkpoint,
+    )
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    s1, i1, state = run_nuts(
+        key, logp, jnp.zeros(3), num_warmup=200, num_samples=200,
+        num_chains=2, return_state=True,
+    )
+    assert state.q.shape == (2, 3) and state.eps.shape == (2,)
+
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state, step=200)
+    restored = load_checkpoint(path, state)
+    np.testing.assert_array_equal(np.asarray(restored.q), np.asarray(state.q))
+
+    # resume: no warmup, continues from the restored state
+    s2, i2 = run_nuts(
+        jax.random.PRNGKey(9), logp, jnp.zeros(3), num_samples=300,
+        num_chains=2, resume_state=ChainState(*map(jnp.asarray, restored)),
+    )
+    assert s2.shape == (2, 300, 3)
+    # combined samples still have the right moments
+    alls = np.concatenate([np.asarray(s1), np.asarray(s2)], axis=1).reshape(-1, 3)
+    np.testing.assert_allclose(alls.mean(0), np.zeros(3), atol=0.15)
+    np.testing.assert_allclose(alls.std(0), np.ones(3), atol=0.15)
