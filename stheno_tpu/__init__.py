@@ -35,6 +35,7 @@ from stheno_tpu.graph import (
     periodic,
     shift,
     additive_gp,
+    derivative,
     AbstractProcess,
     AtomicGP,
     Stretch,
@@ -93,6 +94,7 @@ __all__ = list(_kernels_all) + [
     "periodic",
     "shift",
     "additive_gp",
+    "derivative",
     "AbstractProcess",
     "AtomicGP",
     "Stretch",

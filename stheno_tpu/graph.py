@@ -606,6 +606,77 @@ def additive_gp(fs, indices=None) -> AbstractProcess:
 
 
 # ---------------------------------------------------------------------------
+# Derivative processes (reference examples/differentiation — there a "correct,
+# albeit unbearably slow" finite-difference affine transformation; here EXACT
+# via nested jvp through the kernel, at matmul cost)
+# ---------------------------------------------------------------------------
+
+
+def _jvp_ones(fn, x):
+    """Per-point derivative of a pointwise map via one jvp with unit
+    tangents: valid because every statistic's dependence on the i-th input
+    point is confined to row/entry i."""
+    return jax.jvp(fn, (x,), (jnp.ones_like(x),))[1]
+
+
+@pytree_dataclass
+class DerivativeGP(AbstractProcess):
+    """f′ — the derivative process of a once-differentiable 1-D process.
+
+    Statistics are exact derivatives of the parent's statistics:
+      mean′(x) = ∂ₓ mean(x);  cov(f′,f′)(x,y) = ∂ₓ∂_y k(x,y);
+      cov(f′,g)(x,y) = ∂ₓ k_fg(x,y)
+    computed by (nested) jvp at trace time — so they compose with every
+    kernel, warp, and op in the graph, and with conditioning ("observe f,
+    predict f′" and the reverse).
+    """
+
+    f: AbstractProcess
+    n: int = static_field()
+    gpc: GPC = static_field()
+
+    def mean(self, x):
+        return _jvp_ones(self.f.mean, x)
+
+    def cov(self, x):
+        return self.cov2(x, x)
+
+    def cov2(self, x, x2):
+        def dx_rows(xx):
+            return _jvp_ones(lambda yy: self.f.cov2(xx, yy), x2)
+
+        return _jvp_ones(dx_rows, x)
+
+    def var(self, x):
+        return self.var2(x, x)
+
+    def var2(self, x, x2):
+        def dx_rows(xx):
+            return _jvp_ones(lambda yy: self.f.var2(xx, yy), x2)
+
+        return _jvp_ones(dx_rows, x)
+
+    def _cross_cov_l(self, other, x, x2):
+        return _jvp_ones(lambda xx: cross_cov(self.f, other, xx, x2), x)
+
+    def _cross_cov_r(self, other, x, x2):
+        return _jvp_ones(lambda yy: cross_cov(other, self.f, x, yy), x2)
+
+    def _cross_var_l(self, other, x, x2):
+        return _jvp_ones(lambda xx: cross_var(self.f, other, xx, x2), x)
+
+    def _cross_var_r(self, other, x, x2):
+        return _jvp_ones(lambda yy: cross_var(other, self.f, x, yy), x2)
+
+
+def derivative(f: AbstractProcess) -> DerivativeGP:
+    """The derivative process f′ (1-D inputs).  Composes freely: sums,
+    scalings, warps, second derivatives (`derivative(derivative(f))`),
+    conditioning across f and f′."""
+    return DerivativeGP(f, n=f.gpc.next_index(), gpc=f.gpc)
+
+
+# ---------------------------------------------------------------------------
 # Cross — stacking processes over BlockData (cross.jl:37-93)
 # ---------------------------------------------------------------------------
 

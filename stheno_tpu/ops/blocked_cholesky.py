@@ -113,9 +113,6 @@ def blocked_tri_inv_lower(L, base=512):
     splitting — all off-diagonal work is GEMMs:
 
         inv([[A, 0], [B, C]]) = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]]
-
-    Used by the Cholesky backward pass, where applying L⁻ᵀ to an N-wide
-    right-hand side as a matmul vastly outruns XLA's sequential TRSM.
     """
     n = L.shape[-1]
     if n <= base:
@@ -134,16 +131,65 @@ def blocked_tri_inv_lower(L, base=512):
     return jnp.concatenate([top, bot], axis=0)
 
 
-def _blocked_cholesky_bwd(block, base, L, L_bar):
-    """Reverse rule: K̄ = ½ sym(L⁻ᵀ Φ(Lᵀ L̄) L⁻¹), computed as three GEMMs
-    against the explicit blocked triangular inverse (MXU-resident end to
-    end)."""
+def _chol_bwd_base(L, L_bar):
+    """Closed-form small-block reverse rule: raw (lower-convention) gradient
+    L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ via two small TRSMs."""
     P = _phi(_mm(L.T, L_bar))
-    Li = blocked_tri_inv_lower(L)
-    W = _mm(Li.T, P)            # L⁻ᵀ P
-    K_bar = _mm(W, Li)          # W L⁻¹
-    K_bar = 0.5 * (K_bar + K_bar.T)
-    return (K_bar,)
+    W = lax.linalg.triangular_solve(
+        L, P, left_side=True, lower=True, transpose_a=True
+    )  # L⁻ᵀ P
+    # W L⁻¹ = (L⁻ᵀ Wᵀ)ᵀ
+    K_raw = lax.linalg.triangular_solve(
+        L, W.T, left_side=True, lower=True, transpose_a=True
+    ).T
+    return K_raw
+
+
+def _chol_bwd_rec(L, L_bar, base):
+    """Recursive blocked reverse rule for L = chol(K) (lower-triangular
+    gradient convention; symmetrised by the caller).
+
+    Reverse of the 2×2 factorisation
+        L11 = chol(K11);  L21 = K21 L11⁻ᵀ;  L22 = chol(K22 − L21 L21ᵀ)
+    — every level is a handful of GEMMs + half-size recursions, so the total
+    backward cost is ~2× the forward factorisation, all on the MXU (no
+    full-size triangular inverse, no N-wide sequential TRSM).
+    """
+    n = L.shape[-1]
+    if n <= base:
+        return _chol_bwd_base(L, L_bar)
+    h = ((n // 2) // 64) * 64
+    if h == 0:
+        return _chol_bwd_base(L, L_bar)
+
+    L11, L21, L22 = L[:h, :h], L[h:, :h], L[h:, h:]
+    Lb11, Lb21, Lb22 = L_bar[:h, :h], L_bar[h:, :h], L_bar[h:, h:]
+
+    # reverse of L22 = chol(Schur): S22 is the raw gradient wrt the Schur
+    # complement, which feeds both K̄22 and the L21 cotangent.
+    S22 = _chol_bwd_rec(L22, Lb22, base)
+    Lb21_eff = Lb21 - _mm(S22 + S22.T, L21)
+
+    # reverse of L21 = K21 L11⁻ᵀ:
+    #   K̄21 = L̄21 L11⁻¹   (right-solve, blocked: GEMMs + small TRSMs)
+    #   L̄11 += −K̄21ᵀ L21
+    K21_bar = blocked_solve_upper_T(L11, Lb21_eff.T, block=max(base, h // 4)).T
+    Lb11_eff = Lb11 - _mm(K21_bar.T, L21)
+
+    S11 = _chol_bwd_rec(L11, Lb11_eff, base)
+
+    top = jnp.concatenate([S11, jnp.zeros((h, n - h), L.dtype)], axis=1)
+    bot = jnp.concatenate([K21_bar, S22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _blocked_cholesky_bwd(block, base, L, L_bar):
+    """Blocked reverse rule; returns the symmetrised gradient (upstream K is
+    symmetric, so only sym(K̄) matters — cholesky_psd symmetrises anyway)."""
+    # the output's strict upper triangle is structurally zero: ignore any
+    # cotangent that lands there
+    K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=max(base, 256))
+    return (0.5 * (K_raw + K_raw.T),)
 
 
 blocked_cholesky.defvjp(_blocked_cholesky_fwd, _blocked_cholesky_bwd)

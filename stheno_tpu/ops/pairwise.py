@@ -18,6 +18,7 @@ Reference behavior being replicated: KernelFunctions.jl `kernelmatrix` /
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -43,15 +44,19 @@ def pairwise_dot(x, y) -> jnp.ndarray:
 def pairwise_sqdist(x, y) -> jnp.ndarray:
     """||x_i - y_j||^2 via the matmul identity |x|^2 - 2<x,y> + |y|^2.
 
-    Clamped at zero: the matmul identity can go slightly negative in floating
-    point, which would poison downstream sqrt (Matern kernels).
+    The identity can go slightly negative in floating point, which would
+    poison downstream sqrt (Matern kernels), so the *value* is clamped at
+    zero — but via stop_gradient, so derivatives remain those of the raw
+    polynomial (exact at any order; a plain `maximum` zeroes the tangents of
+    every clamped entry, which silently corrupts derivative processes and
+    Hessian-of-kernel computations on the diagonal).
     """
     x = ensure_2d(x)
     y = ensure_2d(y)
     xx = jnp.sum(x * x, axis=-1)
     yy = jnp.sum(y * y, axis=-1)
     sq = xx[:, None] - 2.0 * jnp.matmul(x, y.T, preferred_element_type=x.dtype) + yy[None, :]
-    return jnp.maximum(sq, 0.0)
+    return sq + jax.lax.stop_gradient(jnp.maximum(sq, 0.0) - sq)
 
 
 def pairwise_dist(x, y) -> jnp.ndarray:

@@ -187,3 +187,51 @@ def test_ids_and_gpc_guards():
     with pytest.raises(ValueError):
         f1 + g
     assert f1.n < f2.n < (f1 + f2).n
+
+
+def test_derivative_process(rng):
+    """Exact derivative processes via nested jvp (SE closed forms)."""
+    gpc = GPC()
+    f = st.GP(st.SEKernel(), gpc=gpc)
+    df = st.derivative(f)
+    x = jnp.asarray(rng.normal(size=5))
+    x2 = jnp.asarray(rng.normal(size=7))
+    d = np.subtract.outer(np.asarray(x), np.asarray(x2))
+    k = np.exp(-0.5 * d**2)
+    np.testing.assert_allclose(cross_cov(df, f, x, x2), -d * k, atol=1e-10)
+    np.testing.assert_allclose(df.cov2(x, x2), (1 - d**2) * k, atol=1e-10)
+    np.testing.assert_allclose(df.var(x), np.ones(5), atol=1e-10)
+    check_process_interface(df, x, jnp.asarray(rng.normal(size=5)), x2, f2=f)
+    # second derivative
+    ddf = st.derivative(df)
+    np.testing.assert_allclose(
+        ddf.cov2(x, x2), (3 - 6 * d**2 + d**4) * k, atol=1e-9
+    )
+    # composes with ops: derivative of a scaled/stretched process
+    g = st.derivative(2.0 * st.stretch(f, 0.5))
+    # (2 f(x/2))' = f'(x/2);  cov = 1 * (1 - (dx/2)^2) e^{-(dx/2)^2/2} * ... chain rule:
+    # d/dx d/dy [4 k(x/2 - y/2)] = 4 * (1/4) k'' = k''(dx/2)
+    dh = d / 2.0
+    np.testing.assert_allclose(
+        g.cov2(x, x2), (1 - dh**2) * np.exp(-0.5 * dh**2), atol=1e-10
+    )
+
+
+def test_sqdist_clamp_is_derivative_transparent(rng):
+    """The value-clamp on the matmul sqdist identity must not kill
+    higher-order derivatives at zero distance (regression: derivative
+    processes had non-PSD covs from clamped diagonal tangents)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=4))
+
+    def kxy(a, b):
+        return st.kernelmatrix(st.SEKernel(), a, b)
+
+    # d2/dxi dyi of k at x == y should be exactly +1 on the diagonal
+    H = jax.jvp(
+        lambda a: jax.jvp(lambda b: kxy(a, b), (x,), (jnp.ones_like(x),))[1],
+        (x,),
+        (jnp.ones_like(x),),
+    )[1]
+    np.testing.assert_allclose(np.diagonal(H), np.ones(4), atol=1e-10)
