@@ -36,6 +36,7 @@ from stheno_tpu.graph import (
     shift,
     additive_gp,
     derivative,
+    convolve_quadrature,
     AbstractProcess,
     AtomicGP,
     Stretch,
@@ -95,6 +96,7 @@ __all__ = list(_kernels_all) + [
     "shift",
     "additive_gp",
     "derivative",
+    "convolve_quadrature",
     "AbstractProcess",
     "AtomicGP",
     "Stretch",

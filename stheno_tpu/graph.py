@@ -677,6 +677,92 @@ def derivative(f: AbstractProcess) -> DerivativeGP:
 
 
 # ---------------------------------------------------------------------------
+# Quadrature convolution (reference examples/convolutional_gp and
+# examples/quadrature-convolution): (Cf)(x) = ∫ w(x, τ) f(τ) dτ approximated
+# on fixed quadrature nodes — a linear functional of f, so all statistics
+# are weight-matrix contractions of the parent's (MXU matmuls).
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class ConvolvedGP(AbstractProcess):
+    """(Cf)(x) ≈ Σ_j w(x, τ_j) Δ_j f(τ_j) over static quadrature nodes τ.
+
+    `weight_fn(x, tau) -> (N, Q)` evaluates the smoothing window between
+    each output point and each node (vectorised); `nodes` are the quadrature
+    points (Q,) or (Q, D); `deltas` the quadrature weights (Q,).
+    """
+
+    f: AbstractProcess
+    nodes: jnp.ndarray
+    deltas: jnp.ndarray
+    weight_fn: object = static_field()
+    n: int = static_field(default=-1)
+    gpc: GPC = static_field(default=None)
+
+    def _w(self, x):
+        return jnp.asarray(self.weight_fn(jnp.asarray(x), self.nodes)) * self.deltas[None, :]
+
+    def mean(self, x):
+        return self._w(x) @ self.f.mean(self.nodes)
+
+    def cov(self, x):
+        W = self._w(x)
+        return W @ self.f.cov(self.nodes) @ W.T
+
+    def cov2(self, x, x2):
+        return self._w(x) @ self.f.cov(self.nodes) @ self._w(x2).T
+
+    def var(self, x):
+        W = self._w(x)
+        return jnp.sum((W @ self.f.cov(self.nodes)) * W, axis=1)
+
+    def var2(self, x, x2):
+        W = self._w(x)
+        W2 = self._w(x2)
+        return jnp.sum((W @ self.f.cov(self.nodes)) * W2, axis=1)
+
+    def _cross_cov_l(self, other, x, x2):
+        return self._w(x) @ cross_cov(self.f, other, self.nodes, x2)
+
+    def _cross_cov_r(self, other, x, x2):
+        return cross_cov(other, self.f, x, self.nodes) @ self._w(x2).T
+
+    def _cross_var_l(self, other, x, x2):
+        return jnp.sum(
+            self._w(x) * cross_cov(self.f, other, self.nodes, x2).T, axis=1
+        )
+
+    def _cross_var_r(self, other, x, x2):
+        return jnp.sum(
+            cross_cov(other, self.f, x, self.nodes) * self._w(x2), axis=1
+        )
+
+
+def convolve_quadrature(f: AbstractProcess, weight_fn, nodes, deltas=None):
+    """Convolve `f` with the window `weight_fn` on quadrature `nodes`.
+
+    `deltas` defaults to trapezoid weights on a uniform 1-D grid.  The
+    result is a full graph citizen: it conditions jointly with f and every
+    derived process (deconvolution = observe Cf, predict f).
+    """
+    nodes = jnp.asarray(nodes)
+    if deltas is None:
+        if nodes.ndim != 1:
+            raise ValueError("provide explicit deltas for non-1D nodes")
+        dx = nodes[1] - nodes[0]
+        deltas = jnp.full(nodes.shape, dx).at[0].set(0.5 * dx).at[-1].set(0.5 * dx)
+    return ConvolvedGP(
+        f,
+        nodes,
+        jnp.asarray(deltas),
+        weight_fn,
+        n=f.gpc.next_index(),
+        gpc=f.gpc,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross — stacking processes over BlockData (cross.jl:37-93)
 # ---------------------------------------------------------------------------
 

@@ -235,3 +235,34 @@ def test_sqdist_clamp_is_derivative_transparent(rng):
         (jnp.ones_like(x),),
     )[1]
     np.testing.assert_allclose(np.diagonal(H), np.ones(4), atol=1e-10)
+
+
+def test_convolve_quadrature(rng):
+    """Quadrature convolution: analytic Gaussian-convolution oracle +
+    interface conformance + deconvolution cross-covariances."""
+    from stheno_tpu.graph import convolve_quadrature
+
+    gpc = GPC()
+    f = st.GP(st.with_lengthscale(st.SEKernel(), 0.4), gpc=gpc)
+    nodes = jnp.linspace(-6.0, 6.0, 241)
+    width = 0.5
+
+    def w(x, tau):
+        d = jnp.asarray(x)[:, None] - jnp.asarray(tau)[None, :]
+        return jnp.exp(-0.5 * (d / width) ** 2) / (width * jnp.sqrt(2 * jnp.pi))
+
+    Cf = convolve_quadrature(f, w, nodes)
+    x = jnp.linspace(-1.5, 1.5, 7)
+    l_eff = np.sqrt(0.4**2 + 2 * width**2)
+    d = np.subtract.outer(np.asarray(x), np.asarray(x))
+    K_true = (0.4 / l_eff) * np.exp(-0.5 * (d / l_eff) ** 2)
+    np.testing.assert_allclose(Cf.cov(x), K_true, atol=5e-4)
+    check_process_interface(
+        Cf, x, jnp.asarray(rng.normal(size=7)), jnp.asarray(rng.normal(size=4)),
+        f2=f, atol=1e-8,
+    )
+    # cross-cov with the latent: ∫ w(x,τ) k(τ, y) dτ (oracle via numpy quad)
+    y = jnp.asarray(rng.normal(size=3))
+    W = np.asarray(w(x, nodes)) * np.asarray(Cf.deltas)[None, :]
+    K_fy = np.asarray(st.kernelmatrix(st.with_lengthscale(st.SEKernel(), 0.4), nodes, y))
+    np.testing.assert_allclose(cross_cov(Cf, f, x, y), W @ K_fy, atol=1e-12)
