@@ -263,13 +263,16 @@ class PosteriorGP:
         return FiniteGP(self, x, noise)
 
 
-def posterior(fx, y):
+def posterior(fx, y, y2=None):
     """Condition: `posterior(f(x, Σ), y)` → posterior process.
 
     One O(N³) factorisation, reused by every downstream prediction
     (SURVEY.md §3.3).  `SparseFiniteGP` routes to the VFE approximate
-    posterior (src/gp/sparse_finite_gp.jl:60-62).
+    posterior (src/gp/sparse_finite_gp.jl:60-62), and the reference's
+    `posterior(VFE(u), fx, y)` signature is accepted too.
     """
+    if isinstance(fx, VFE):
+        return posterior_vfe(fx, y, y2)
     if isinstance(fx, SparseFiniteGP):
         return posterior_vfe(VFE(fx.finducing), fx.fobs, y)
     L = _chol_of(fx)

@@ -1,0 +1,14 @@
+"""Integration smoke: run a fast self-checking example end-to-end in-process
+(the reference's docs build literately executes every example —
+docs/make.jl:60-84; the full set runs in CI-style scripts, this keeps one in
+the unit suite)."""
+
+import runpy
+import sys
+
+
+def test_process_decomposition_example(monkeypatch, capsys):
+    monkeypatch.setattr(sys, "argv", ["process_decomposition.py"])
+    runpy.run_path("examples/process_decomposition.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "process_decomposition: OK" in out

@@ -200,3 +200,18 @@ def test_elbo_grad_is_finite_and_jits(rng, key):
         tm = dict(theta); tm[k] = theta[k] - eps
         fd = (neg_elbo(tp) - neg_elbo(tm)) / (2 * eps)
         np.testing.assert_allclose(grad[k], fd, rtol=1e-4, atol=1e-6)
+
+
+def test_posterior_vfe_reference_signature(rng, key):
+    """posterior(VFE(u), fx, y) — the reference's call signature."""
+    gpc = GPC()
+    f = st.GP(st.SEKernel(), gpc=gpc)
+    x = jnp.asarray(rng.uniform(0, 1, 15))
+    z = jnp.linspace(0, 1, 5)
+    fx = f(x, 0.2)
+    y = rand(key, fx)
+    ap1 = posterior(VFE(f(z, 1e-9)), fx, y)
+    ap2 = posterior_vfe(VFE(f(z, 1e-9)), fx, y)
+    xp = jnp.asarray(rng.uniform(0, 1, 4))
+    np.testing.assert_allclose(ap1.mean(xp), ap2.mean(xp))
+    np.testing.assert_allclose(ap1.var(xp), ap2.var(xp))
