@@ -148,3 +148,28 @@ def test_run_nuts_sharded(key):
     s = np.asarray(samples).reshape(-1, 3)
     np.testing.assert_allclose(s.mean(0), np.zeros(3), atol=0.12)
     np.testing.assert_allclose(s.std(0), np.ones(3), atol=0.12)
+
+
+def test_run_smc_sharded(key):
+    from stheno_tpu.parallel import run_smc_sharded
+
+    mesh = chains_mesh(8)
+    d = 2
+
+    def loglike(q):
+        return -0.5 * jnp.sum((q - 1.0) ** 2)
+
+    def logprior(q):
+        return -0.5 * jnp.sum(q**2)
+
+    P_ = 1024
+    init = jax.random.normal(key, (P_, d))
+    res = run_smc_sharded(
+        jax.random.PRNGKey(1), loglike, logprior, init, mesh,
+        num_mcmc=3, hmc_step_size=0.5, hmc_num_steps=8,
+    )
+    # posterior = N(1/2, 1/2) per dim
+    np.testing.assert_allclose(np.asarray(res.particles).mean(0), [0.5, 0.5], atol=0.12)
+    np.testing.assert_allclose(
+        np.asarray(res.particles).std(0), np.sqrt(0.5) * np.ones(2), atol=0.12
+    )
