@@ -58,25 +58,32 @@ def main():
     )
 
     @jax.jit
-    def step(theta):
-        def nlml(t):
-            f = build(t)
-            return -logpdf(f(GPPPInput("f3", x), t["noise"]), y)
+    def step(theta, i):
+        # perturb one hyperparameter per call: defeats any value-level
+        # result caching in the runtime without changing the program
+        t = dict(theta)
+        t["l1"] = theta["l1"] + i * 1e-7
 
-        return jax.value_and_grad(nlml)(theta)
+        def nlml(tt):
+            f = build(tt)
+            return -logpdf(f(GPPPInput("f3", x), tt["noise"]), y)
+
+        v, g = jax.value_and_grad(nlml)(t)
+        # scalar that depends on value AND gradient — host-pulling it forces
+        # the whole computation (block_until_ready is unreliable on relayed
+        # backends)
+        return v + g["l1"] * 1e-9
 
     t0 = time.time()
-    val, grad = step(theta)
-    val.block_until_ready()
-    print(f"compile+first: {time.time() - t0:.1f}s nlml={float(val):.2f}",
+    v0 = float(step(theta, 0))
+    print(f"compile+first: {time.time() - t0:.1f}s nlml={v0:.2f}",
           file=sys.stderr)
 
-    # steady state
+    # steady state: per-iteration host-pull forcing
     reps = 5
     t0 = time.time()
-    for _ in range(reps):
-        val, grad = step(theta)
-    val.block_until_ready()
+    for i in range(1, reps + 1):
+        out = float(step(theta, i))
     ms = (time.time() - t0) / reps * 1e3
 
     # speed-of-light: kernelmatrix (2·2·N²·D ≈ negligible at D=1) +
