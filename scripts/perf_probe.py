@@ -1,0 +1,222 @@
+"""TPU perf probe for the N=16k hot-loop components (dev tool, not a test).
+
+Times individual pipeline pieces with the host-pull methodology from
+BASELINE.md: every measured call ends in a `float()` pull of a scalar that
+consumes the full output, with per-iteration varying inputs.  The pulled
+scalar for a Cholesky factor is tr(L Lᵀ) = Σ L² — it equals tr(K) for a
+correct factor, so it is simultaneously a forcing scalar, a NaN detector and
+a correctness invariant.
+
+Variants probed (pass names as argv to select; default = all):
+  chol_cur        blocked_cholesky, HIGHEST precision (library default)
+  chol_high       blocked_cholesky, HIGH (bf16_3x) GEMMs
+  chol_btri       HIGHEST + blocked triangular-inverse forward TRSM
+  chol_high_btri  HIGH + blocked forward TRSM
+  chol_lax        XLA built-in cholesky
+  km_xla          SE kernelmatrix via broadcast XLA
+  km_pal          fused Pallas D=1 SE kernelmatrix (tile variants)
+
+Usage:  python scripts/perf_probe.py [variant ...]
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+if os.environ.get("PROBE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+N = int(os.environ.get("PROBE_N", 16384))
+DT = jnp.float32
+REPS = int(os.environ.get("PROBE_REPS", 4))
+
+x_host = jnp.linspace(-5.0, 5.0, N, dtype=DT)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def km_se(x, var=1.5):
+    d = x[:, None] - x[None, :]
+    return var * jnp.exp(-0.5 * d * d)
+
+
+def timed(name, fn, reps=REPS, check=None):
+    t0 = time.time()
+    v = float(fn(0))
+    log(f"{name:16s} compile+first {time.time()-t0:7.1f}s  scalar={v:.6g}"
+        + (f"  expect≈{check:.6g}" if check is not None else ""))
+    t0 = time.time()
+    for i in range(1, reps + 1):
+        out = float(fn(i))
+    ms = (time.time() - t0) / reps * 1e3
+    log(f"{name:16s} steady {ms:9.2f} ms   (last scalar {out:.6g})")
+    return ms
+
+
+# ---------------------------------------------------------------- cholesky
+def make_chol_probe(chol_fn):
+    @jax.jit
+    def run(i):
+        xx = x_host + i * 1e-7
+        K = km_se(xx) + 0.1 * jnp.eye(N, dtype=DT)
+        L = chol_fn(K)
+        return jnp.vdot(L, L)  # = tr(K) for a correct factor; forces all of L
+
+    return run
+
+
+def blocked_chol_btri(A, block=2048, base=256):
+    """Forward blocked Cholesky with the recursive blocked triangular
+    inverse on the panel TRSM (vs the library's direct XLA TRSM-vs-I)."""
+    from stheno_tpu.ops.blocked_cholesky import _mm, blocked_tri_inv_lower
+
+    n = A.shape[-1]
+    B = block
+    nb = n // B
+    L = jnp.zeros_like(A)
+    for kb in range(nb):
+        c = kb * B
+        A_panel = lax.dynamic_slice(A, (c, c), (n - c, B))
+        if kb > 0:
+            rows = lax.dynamic_slice(L, (c, 0), (n - c, c))
+            top = lax.dynamic_slice(L, (c, 0), (B, c))
+            A_panel = A_panel - _mm(rows, top.T)
+        A11 = A_panel[:B]
+        from stheno_tpu.ops.blocked_cholesky import _blocked_cholesky_impl
+
+        L11 = _blocked_cholesky_impl(A11, block=max(base, B // 4), base=base)
+        out_panel = L11
+        if n - c > B:
+            A21 = A_panel[B:]
+            L21 = _mm(A21, blocked_tri_inv_lower(L11, base=base).T)
+            out_panel = jnp.concatenate([L11, L21], axis=0)
+        L = lax.dynamic_update_slice(L, out_panel, (c, c))
+    return L
+
+
+# ------------------------------------------------------------ kernelmatrix
+def make_km_xla():
+    @jax.jit
+    def run(i):
+        xx = x_host + i * 1e-7
+        K = km_se(xx)
+        return jnp.vdot(K, K)
+
+    return run
+
+
+def make_km_pallas(tile_m, tile_n):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(x_ref, y_ref, o_ref):
+        xv = x_ref[:]  # (tile_m, 1)
+        yv = y_ref[:]  # (1, tile_n)
+        d = xv - yv
+        o_ref[:] = 1.5 * jnp.exp(-0.5 * d * d)
+
+    def km(x):
+        n = x.shape[0]
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((n, n), DT),
+            interpret=jax.default_backend() != "tpu",
+            grid=(n // tile_m, n // tile_n),
+            in_specs=[
+                pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * n * n,
+                bytes_accessed=n * n * 4,
+                transcendentals=n * n,
+            ),
+        )(x[:, None], x[None, :])
+
+    @jax.jit
+    def run(i):
+        xx = x_host + i * 1e-7
+        K = km(xx)
+        return jnp.vdot(K, K)
+
+    return run
+
+
+def main():
+    sel = set(sys.argv[1:])
+
+    def want(name):
+        return not sel or name in sel
+
+    log(f"device: {jax.devices()[0]}  N={N}")
+    trK = N * (1.5 + 0.1)
+
+    from stheno_tpu.ops import blocked_cholesky as bc
+
+    results = {}
+    if want("null"):
+        # fixed relay/dispatch/host-pull overhead: a trivial jitted scalar.
+        # Subtract this from the other rows to estimate pure device time.
+        @jax.jit
+        def null_fn(i):
+            return jnp.sum(x_host[:8]) + i * 1e-7
+
+        results["null"] = timed("null", null_fn)
+    if want("chol_lax"):
+        results["chol_lax"] = timed(
+            "chol_lax", make_chol_probe(lax.linalg.cholesky), check=trK)
+    if want("chol_cur"):
+        bc.set_gemm_precision("highest")
+        results["chol_cur"] = timed(
+            "chol_cur",
+            make_chol_probe(lambda K: bc._blocked_cholesky_impl(K, 2048, 256)),
+            check=trK)
+    if want("chol_high"):
+        bc.set_gemm_precision("high")
+        results["chol_high"] = timed(
+            "chol_high",
+            make_chol_probe(lambda K: bc._blocked_cholesky_impl(K, 2048, 256)),
+            check=trK)
+        bc.set_gemm_precision("highest")
+    for blk in (1024, 4096):
+        if want(f"chol_b{blk}"):
+            results[f"chol_b{blk}"] = timed(
+                f"chol_b{blk}",
+                make_chol_probe(
+                    lambda K, b=blk: bc._blocked_cholesky_impl(K, b, 256)),
+                check=trK)
+    if want("chol_btri"):
+        bc.set_gemm_precision("highest")
+        results["chol_btri"] = timed(
+            "chol_btri", make_chol_probe(blocked_chol_btri), check=trK)
+    if want("chol_high_btri"):
+        bc.set_gemm_precision("high")
+        results["chol_high_btri"] = timed(
+            "chol_high_btri", make_chol_probe(blocked_chol_btri), check=trK)
+        bc.set_gemm_precision("highest")
+    if want("km_xla"):
+        results["km_xla"] = timed("km_xla", make_km_xla())
+    if want("km_pal"):
+        for tm, tn in [(256, 2048), (512, 1024)]:
+            results[f"km_pal_{tm}x{tn}"] = timed(
+                f"km_pal_{tm}x{tn}", make_km_pallas(tm, tn))
+
+    log("---- summary (ms) ----")
+    for k, v in sorted(results.items(), key=lambda kv: kv[1]):
+        log(f"{k:20s} {v:9.2f}")
+
+
+if __name__ == "__main__":
+    main()

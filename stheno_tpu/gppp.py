@@ -121,9 +121,26 @@ class GPPP:
     def __contains__(self, name):
         return name in self.processes
 
+    def _validate_tags(self, x):
+        """Eagerly check tags so `f(x, noise)` fails fast on an unknown
+        process (evaluation-time KeyError would otherwise surface inside a
+        jit trace, far from the user's mistake)."""
+        if isinstance(x, GPPPInput):
+            if x.p not in self.processes:
+                raise KeyError(
+                    f"GPPP has no process {x.p!r}; has {sorted(self.processes)}"
+                )
+        elif isinstance(x, BlockData):
+            for b in x.blocks:
+                self._validate_tags(b)
+        elif isinstance(x, (list, tuple)) and x and isinstance(x[0], tuple):
+            for p, _ in x:
+                self._validate_tags(GPPPInput(p, None))
+
     def __call__(self, x, noise=None):
         from stheno_tpu.finite_gp import FiniteGP
 
+        self._validate_tags(x)
         return FiniteGP(self, x, noise)
 
 

@@ -27,10 +27,27 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-# TPU MXU matmuls on f32 inputs default to bf16-class passes; the
-# left-looking accumulation needs true f32 — errors otherwise drive late
-# diagonal blocks indefinite and the factorisation NaNs (observed at N=16k).
-_PREC = lax.Precision.HIGHEST
+# TPU MXU matmuls on f32 inputs default to a single bf16 pass (~2^-8 relative
+# error) — fatal inside the left-looking accumulation: the late diagonal
+# blocks go indefinite and the factorisation NaNs (observed at N=16k).
+# HIGH (3-pass bf16_3x, ~2^-21 relative error) is the default: measured
+# correct at N=16k (factor trace invariant to 8e-6 relative) and 1.33× faster
+# than HIGHEST (6-pass, full f32) — 78.8 vs 104.5 ms forward.  For workloads
+# with jitter < ~1e-6 or N ≫ 10⁵, pin HIGHEST via `set_gemm_precision`.
+_PREC = lax.Precision.HIGH
+
+
+def set_gemm_precision(p):
+    """Set the MXU precision for all blocked-Cholesky/TRSM GEMMs.
+
+    `p`: a `lax.Precision` or one of 'highest' | 'high'.  Returns the
+    previous value.  Callers re-jit after changing this (it is trace-time
+    state, like config flags).
+    """
+    global _PREC
+    prev = _PREC
+    _PREC = lax.Precision[p.upper()] if isinstance(p, str) else p
+    return prev
 
 
 def _mm(a, b):
@@ -90,7 +107,11 @@ def _blocked_cholesky_impl(A, block=1024, base=256):
         out_panel = L11
         if n - c > B:
             A21 = A_panel[B:]
-            L21 = _mm(A21, _tri_inv_lower(L11).T)
+            # panel TRSM as a GEMM against the *blocked* triangular inverse:
+            # the recursive 2-way-split inverse keeps all off-diagonal work on
+            # the MXU (measured 7% faster end-to-end than XLA's TRSM-vs-I at
+            # B=2048, N=16k)
+            L21 = _mm(A21, blocked_tri_inv_lower(L11, base=base).T)
             out_panel = jnp.concatenate([L11, L21], axis=0)
         L = lax.dynamic_update_slice(L, out_panel, (c, c))
     return L
