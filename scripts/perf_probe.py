@@ -190,6 +190,24 @@ def main():
             make_chol_probe(lambda K: bc._blocked_cholesky_impl(K, 2048, 256)),
             check=trK)
         bc.set_gemm_precision("highest")
+    if want("chol_grad"):
+        # fwd + custom-VJP backward through the library blocked_cholesky
+        W = jnp.tril(jnp.ones((N, N), DT))
+
+        @jax.jit
+        def grad_probe(i):
+            xx = x_host + i * 1e-7
+            K = km_se(xx) + 0.1 * jnp.eye(N, dtype=DT)
+
+            def f(Km):
+                from stheno_tpu.ops.blocked_cholesky import blocked_cholesky
+
+                return jnp.vdot(blocked_cholesky(Km, 2048, 256), W)
+
+            v, g = jax.value_and_grad(f)(K)
+            return v + jnp.vdot(g, g) * 1e-12
+
+        results["chol_grad"] = timed("chol_grad", grad_probe)
     for blk in (1024, 4096):
         if want(f"chol_b{blk}"):
             results[f"chol_b{blk}"] = timed(

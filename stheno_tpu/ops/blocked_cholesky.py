@@ -194,7 +194,9 @@ def _chol_bwd_rec(L, L_bar, base):
     # reverse of L21 = K21 L11⁻ᵀ:
     #   K̄21 = L̄21 L11⁻¹   (right-solve, blocked: GEMMs + small TRSMs)
     #   L̄11 += −K̄21ᵀ L21
-    K21_bar = blocked_solve_upper_T(L11, Lb21_eff.T, block=max(base, h // 4)).T
+    K21_bar = blocked_solve_upper_T(
+        L11, Lb21_eff.T, block=max(base, h // 4), via_inv=True
+    ).T
     Lb11_eff = Lb11 - _mm(K21_bar.T, L21)
 
     S11 = _chol_bwd_rec(L11, Lb11_eff, base)
@@ -242,8 +244,14 @@ def blocked_solve_lower(L, b, block=1024):
     return x[:, 0] if vec else x
 
 
-def blocked_solve_upper_T(L, b, block=1024):
-    """Solve Lᵀ x = b by blocked backward substitution (L lower)."""
+def blocked_solve_upper_T(L, b, block=1024, via_inv=False):
+    """Solve Lᵀ x = b by blocked backward substitution (L lower).
+
+    `via_inv=True` applies each B×B diagonal block as a GEMM against its
+    explicit blocked triangular inverse instead of XLA's sequential TRSM —
+    worthwhile when the RHS is wide (the Cholesky backward), where the
+    O(B³/3) inverse is amortised over an O(B²·K) MXU matmul.
+    """
     n = L.shape[-1]
     vec = b.ndim == 1
     if vec:
@@ -264,8 +272,11 @@ def blocked_solve_upper_T(L, b, block=1024):
             xdone = x[c + B :]
             rhs = rhs - _mm(col.T, xdone)
         Lkk = lax.dynamic_slice(L, (c, c), (B, B))
-        xk = lax.linalg.triangular_solve(
-            Lkk, rhs, left_side=True, lower=True, transpose_a=True
-        )
+        if via_inv:
+            xk = _mm(blocked_tri_inv_lower(Lkk, base=256).T, rhs)
+        else:
+            xk = lax.linalg.triangular_solve(
+                Lkk, rhs, left_side=True, lower=True, transpose_a=True
+            )
         x = lax.dynamic_update_slice(x, xk, (c, 0))
     return x[:, 0] if vec else x

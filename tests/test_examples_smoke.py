@@ -12,3 +12,10 @@ def test_process_decomposition_example(monkeypatch, capsys):
     runpy.run_path("examples/process_decomposition.py", run_name="__main__")
     out = capsys.readouterr().out
     assert "process_decomposition: OK" in out
+
+
+def test_convolutional_gp_example(monkeypatch, capsys):
+    monkeypatch.setattr(sys, "argv", ["convolutional_gp.py"])
+    runpy.run_path("examples/convolutional_gp.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "convolutional_gp: OK" in out
