@@ -191,9 +191,10 @@ def main():
             check=trK)
         bc.set_gemm_precision("highest")
     if want("chol_grad"):
-        # fwd + custom-VJP backward through the library blocked_cholesky
-        W = jnp.tril(jnp.ones((N, N), DT))
-
+        # fwd + custom-VJP backward through the library blocked_cholesky.
+        # scalar = Σ L² (so L̄ = 2L — no huge weight constant in the graph,
+        # which the compile relay rejects with HTTP 413); the backward still
+        # runs the full recursive blocked reverse rule.
         @jax.jit
         def grad_probe(i):
             xx = x_host + i * 1e-7
@@ -202,7 +203,8 @@ def main():
             def f(Km):
                 from stheno_tpu.ops.blocked_cholesky import blocked_cholesky
 
-                return jnp.vdot(blocked_cholesky(Km, 2048, 256), W)
+                L = blocked_cholesky(Km, 2048, 256)
+                return jnp.vdot(L, L)
 
             v, g = jax.value_and_grad(f)(K)
             return v + jnp.vdot(g, g) * 1e-12

@@ -65,7 +65,13 @@ def sharded_matvec(mesh, K, v, axis_name="rows"):
     """y = K v with K rows sharded: local matmul + replicated v."""
 
     def body(K_loc, v_full):
-        return K_loc @ v_full
+        # >=HIGH precision: a length-N f32 dot accumulated in 1-pass bf16
+        # loses ~2^-8 relative — visible in posterior means at large N
+        from stheno_tpu.ops.blocked_cholesky import _mm
+
+        if v_full.ndim == 1:
+            return _mm(K_loc, v_full[:, None])[:, 0]
+        return _mm(K_loc, v_full)
 
     fn = shard_map(
         body,

@@ -37,6 +37,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from stheno_tpu.ops import chol as _chol
+from stheno_tpu.ops.blocked_cholesky import _mm
 
 
 def _axis_rank(axis_name):
@@ -97,7 +98,11 @@ def _chol_panel_loop(K_loc, block_size, axis_name, n_total):
         # -- 5: trailing update -------------------------------------------
         row_act = below[:, None]  # local rows strictly below the panel
         col_act = (cols >= c + B)[None, :]  # trailing columns
-        update = (new_panel * row_act) @ (P_full.T * col_act)
+        # accumulation precision matters here exactly as in the single-chip
+        # blocked factorisation (ops/blocked_cholesky.py): TPU's default
+        # 1-pass-bf16 matmul drives late diagonal blocks indefinite at large
+        # N — route through the shared >=HIGH-precision GEMM.
+        update = _mm(new_panel * row_act, P_full.T * col_act)
         K_loc = K_loc - jnp.where(col_act, update, 0.0)
         return K_loc
 
@@ -171,7 +176,7 @@ def _fwd_solve_loop(L_loc, b_loc, block_size, axis_name, n_total):
         # update residual of rows below the panel
         L_panel = lax.dynamic_slice(L_loc, (jnp.int32(0), c), (n_loc, B))
         below = (local_rows >= c + B)
-        r_loc = r_loc - jnp.where(below, L_panel @ a_blk, 0.0)
+        r_loc = r_loc - jnp.where(below, _mm(L_panel, a_blk[:, None])[:, 0], 0.0)
         return r_loc, a
 
     a0 = jnp.zeros((n_total,), dt)
