@@ -65,7 +65,10 @@ def cholesky_psd(K, jitter=None):
     if _use_blocked(K):
         from stheno_tpu.ops.blocked_cholesky import blocked_cholesky
 
-        return blocked_cholesky(K, block=2048, base=256)
+        # block=1024 measured fastest at N=16k on v5e (67.6 ms vs 73.7 @2048,
+        # 90.5 @4096 — scripts/perf_probe.py): panels stay VMEM-resident
+        # while the trailing GEMM still saturates the MXU.
+        return blocked_cholesky(K, block=1024, base=256)
     return lax.linalg.cholesky(K)
 
 
