@@ -226,6 +226,41 @@ def main():
         results["chol_high_btri"] = timed(
             "chol_high_btri", make_chol_probe(blocked_chol_btri), check=trK)
         bc.set_gemm_precision("highest")
+    if want("chol_pal_base"):
+        # HIGH + blocked-tri-inv forward, with the Pallas in-VMEM base-case
+        # factoriser instead of lax.linalg.cholesky — tests the hypothesis
+        # that the 64 serially-dependent base factorisations are the
+        # latency bottleneck of the forward pass.
+        from stheno_tpu.ops.pallas.chol_block import chol_block_auto
+
+        bc.set_gemm_precision("high")
+        prev = bc.set_base_cholesky(chol_block_auto)
+        results["chol_pal_base"] = timed(
+            "chol_pal_base", make_chol_probe(blocked_chol_btri), check=trK)
+        bc.set_base_cholesky(prev)
+        bc.set_gemm_precision("highest")
+    if want("base_chain"):
+        # critical-path latency of 64 serially-dependent 256-block
+        # factorisations — lax vs pallas, no big GEMMs involved.
+        from stheno_tpu.ops.pallas.chol_block import chol_block_auto
+
+        def make_chain(fn):
+            @jax.jit
+            def run(i):
+                A = km_se(x_host[:256]) + (
+                    256.0 + i * 1e-5) * jnp.eye(256, dtype=DT)
+                acc = jnp.float32(0.0)
+                for _ in range(64):
+                    L = fn(A + acc * 1e-12)  # serial dependence
+                    acc = acc + jnp.vdot(L, L)
+                return acc
+
+            return run
+
+        results["base_chain_lax"] = timed(
+            "base_chain_lax", make_chain(lax.linalg.cholesky))
+        results["base_chain_pal"] = timed(
+            "base_chain_pal", make_chain(chol_block_auto))
     if want("km_xla"):
         results["km_xla"] = timed("km_xla", make_km_xla())
     if want("km_pal"):

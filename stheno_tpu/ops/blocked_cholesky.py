@@ -54,6 +54,22 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_PREC)
 
 
+# Base-case factoriser for blocks ≤ `base`.  Default: XLA's built-in.  The
+# Pallas in-VMEM kernel (`ops/pallas/chol_block.py`) can be swapped in via
+# `set_base_cholesky` — the N/base serially-dependent base factorisations sit
+# on the critical path, so base-case latency matters at large N.
+_BASE_CHOL = lax.linalg.cholesky
+
+
+def set_base_cholesky(fn):
+    """Swap the base-case factoriser (trace-time state; re-jit after).
+    Returns the previous one."""
+    global _BASE_CHOL
+    prev = _BASE_CHOL
+    _BASE_CHOL = fn
+    return prev
+
+
 def _tri_inv_lower(L):
     """Explicit inverse of a small lower-triangular matrix via TRSM vs I."""
     n = L.shape[-1]
@@ -83,7 +99,7 @@ def blocked_cholesky(A, block=1024, base=256):
 def _blocked_cholesky_impl(A, block=1024, base=256):
     n = A.shape[-1]
     if n <= base:
-        return lax.linalg.cholesky(A)
+        return _BASE_CHOL(A)
     # panel width: ≤ n/2 (so recursion strictly shrinks), multiple of 64 for
     # clean MXU tiling
     B = (min(block, n // 2) // 64) * 64
