@@ -239,6 +239,19 @@ def main():
             "chol_pal_base", make_chol_probe(blocked_chol_btri), check=trK)
         bc.set_base_cholesky(prev)
         bc.set_gemm_precision("highest")
+    if want("chol_pal_all"):
+        # Pallas base factoriser AND Pallas base triangular inverse.
+        from stheno_tpu.ops.pallas.chol_block import (
+            chol_block_auto, tri_inv_block_auto)
+
+        bc.set_gemm_precision("high")
+        p1 = bc.set_base_cholesky(chol_block_auto)
+        p2 = bc.set_base_tri_inv(tri_inv_block_auto)
+        results["chol_pal_all"] = timed(
+            "chol_pal_all", make_chol_probe(blocked_chol_btri), check=trK)
+        bc.set_base_cholesky(p1)
+        bc.set_base_tri_inv(p2)
+        bc.set_gemm_precision("highest")
     if want("base_chain"):
         # critical-path latency of 64 serially-dependent 256-block
         # factorisations — lax vs pallas, no big GEMMs involved.

@@ -205,8 +205,7 @@ def logpdf(fx, y):
     src/gp/sparse_finite_gp.jl:52-54)."""
     if isinstance(fx, SparseFiniteGP):
         return _sparse_logpdf(fx, y)
-    L = _chol_of(fx)
-    return _chol.mvn_logpdf_chol(jnp.asarray(y), fx.mean(), L)
+    return _chol.mvn_logpdf_psd(jnp.asarray(y), fx.mean(), fx.cov())
 
 
 # ---------------------------------------------------------------------------

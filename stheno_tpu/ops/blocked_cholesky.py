@@ -70,11 +70,30 @@ def set_base_cholesky(fn):
     return prev
 
 
-def _tri_inv_lower(L):
+def _tri_inv_lower_xla(L):
     """Explicit inverse of a small lower-triangular matrix via TRSM vs I."""
     n = L.shape[-1]
     eye = jnp.eye(n, dtype=L.dtype)
     return lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+
+
+# Base-case triangular inverse — same latency argument as _BASE_CHOL: XLA's
+# TRSM round-trips HBM per internal step; the Pallas in-VMEM row sweep
+# (`ops/pallas/chol_block.py:tri_inv_block`) can be swapped in.
+_BASE_TRI_INV = _tri_inv_lower_xla
+
+
+def set_base_tri_inv(fn):
+    """Swap the base-case triangular inverse (trace-time state; re-jit
+    after).  Returns the previous one."""
+    global _BASE_TRI_INV
+    prev = _BASE_TRI_INV
+    _BASE_TRI_INV = fn
+    return prev
+
+
+def _tri_inv_lower(L):
+    return _BASE_TRI_INV(L)
 
 
 import functools
@@ -232,6 +251,34 @@ def _blocked_cholesky_bwd(block, base, L, L_bar):
 
 
 blocked_cholesky.defvjp(_blocked_cholesky_fwd, _blocked_cholesky_bwd)
+
+
+def blocked_lauum(M, block=1024):
+    """S = Mᵀ M for *lower-triangular* M, blocked so only ~n³/6 multiply-adds
+    run (LAPACK LAUUM's job, restructured as one GEMM per panel):
+
+        per panel J (c = J·B):  colJ = M[c:, :c+B]ᵀ @ M[c:, c:c+B]
+
+    gives the upper-triangle block column (c+B, B); the strict-upper parts
+    are mirrored, diagonal blocks written once.  Used to form K⁻¹ = L⁻ᵀ L⁻¹
+    from the triangular inverse in the fused logpdf backward.
+    """
+    n = M.shape[-1]
+    B = min(block, n)
+    if n % B != 0:
+        return _mm(M.T, M)
+    nb = n // B
+    SU = jnp.zeros_like(M)  # strict-upper block columns
+    D = jnp.zeros_like(M)  # block diagonal
+    for J in range(nb):
+        c = J * B
+        rows = lax.dynamic_slice(M, (c, 0), (n - c, c + B))
+        panel = lax.dynamic_slice(M, (c, c), (n - c, B))
+        col = _mm(rows.T, panel)  # (c+B, B)
+        if c > 0:
+            SU = lax.dynamic_update_slice(SU, col[:c], (0, c))
+        D = lax.dynamic_update_slice(D, col[c:], (c, c))
+    return SU + SU.T + D
 
 
 def blocked_solve_lower(L, b, block=1024):

@@ -113,3 +113,78 @@ def test_blocked_cholesky_custom_vjp_random_cotangent(rng):
     gb_s = 0.5 * (gb + gb.T)
     gl_s = 0.5 * (gl + gl.T)
     np.testing.assert_allclose(np.asarray(gb_s), np.asarray(gl_s), atol=1e-8)
+
+
+def test_pallas_chol_block_and_tri_inv(rng):
+    """In-VMEM base-case kernels vs numpy (interpret mode on CPU)."""
+    from stheno_tpu.ops.pallas.chol_block import (
+        chol_block_auto,
+        tri_inv_block_auto,
+    )
+
+    for n in (128, 256):
+        K = np.asarray(_psd(rng, n), dtype=np.float32)
+        L_ref = np.linalg.cholesky(K)
+        L = np.asarray(chol_block_auto(jnp.asarray(K)))
+        np.testing.assert_allclose(L, L_ref, atol=2e-4 * np.abs(L_ref).max())
+        M = np.asarray(tri_inv_block_auto(jnp.asarray(L_ref)))
+        np.testing.assert_allclose(M @ L_ref, np.eye(n), atol=5e-5)
+
+
+def test_blocked_cholesky_with_pallas_bases(rng):
+    """Full blocked factorisation with the Pallas base factoriser and base
+    triangular inverse swapped in (the TPU fast path) matches lax."""
+    from stheno_tpu.ops import blocked_cholesky as bc
+    from stheno_tpu.ops.pallas.chol_block import (
+        chol_block_auto,
+        tri_inv_block_auto,
+    )
+
+    K = jnp.asarray(np.asarray(_psd(rng, 512), dtype=np.float32))
+    p1 = bc.set_base_cholesky(chol_block_auto)
+    p2 = bc.set_base_tri_inv(tri_inv_block_auto)
+    try:
+        L = bc._blocked_cholesky_impl(K, block=256, base=128)
+    finally:
+        bc.set_base_cholesky(p1)
+        bc.set_base_tri_inv(p2)
+    L_ref = jnp.linalg.cholesky(K)
+    np.testing.assert_allclose(
+        np.asarray(L), np.asarray(L_ref),
+        atol=2e-4 * float(jnp.abs(L_ref).max()))
+
+
+def test_fused_logpdf_matches_unfused(rng):
+    """Closed-form-gradient logpdf (the TPU large-N path) ≡ the
+    Cholesky-VJP path, for values and all gradients (f64)."""
+    from stheno_tpu.ops import chol as C
+
+    n = 256
+    K = jnp.asarray(np.asarray(_psd(rng, n)))
+    y = jnp.asarray(rng.normal(size=n))
+    m = jnp.asarray(rng.normal(size=n))
+
+    def f_old(K, y, m):
+        return C.mvn_logpdf_chol(y, m, C.cholesky_psd(K))
+
+    def f_new(K, y, m):
+        return C._mvn_logpdf_fused(C.symmetrize(K), y - m)
+
+    v0, g0 = jax.value_and_grad(f_old, argnums=(0, 1, 2))(K, y, m)
+    v1, g1 = jax.value_and_grad(f_new, argnums=(0, 1, 2))(K, y, m)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-12)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            atol=1e-12 * float(jnp.abs(a).max()))
+
+
+def test_blocked_lauum(rng):
+    from stheno_tpu.ops.blocked_cholesky import blocked_lauum
+
+    n = 384
+    L = jnp.linalg.cholesky(jnp.asarray(np.asarray(_psd(rng, n))))
+    M = jnp.linalg.inv(L) * jnp.tri(n)
+    S = blocked_lauum(M, block=128)
+    np.testing.assert_allclose(
+        np.asarray(S), np.asarray(M.T @ M), atol=1e-12)
