@@ -63,3 +63,23 @@ def test_elbo_fx_convenience(rng, key):
     np.testing.assert_allclose(
         float(elbo_fx(fx, y, f(z, 1e-9))), float(elbo(VFE(f(z, 1e-9)), fx, y))
     )
+
+
+def test_cost_summary_smoke():
+    # SURVEY.md §5: cost-model printouts per jitted entry point.
+    import io
+
+    import jax.numpy as jnp
+
+    from stheno_tpu.utils import cost_summary
+
+    def f(a):
+        return jnp.sum(a @ a)
+
+    buf = io.StringIO()
+    ca = cost_summary(
+        f, jnp.ones((64, 64)), name="mm64",
+        peak_flops=49e12, hbm_bw=8e11, file=buf,
+    )
+    assert isinstance(ca, dict)
+    assert "[cost] mm64" in buf.getvalue()
