@@ -266,3 +266,31 @@ def test_convolve_quadrature(rng):
     W = np.asarray(w(x, nodes)) * np.asarray(Cf.deltas)[None, :]
     K_fy = np.asarray(st.kernelmatrix(st.with_lengthscale(st.SEKernel(), 0.4), nodes, y))
     np.testing.assert_allclose(cross_cov(Cf, f, x, y), W @ K_fy, atol=1e-12)
+
+
+def test_derivative_process_interface_and_oracle(xs):
+    """DerivativeGP: conformance suite + closed-form SE-derivative oracle
+    (∂ₓk = -(x-y)k, ∂ₓ∂_y k = (1-(x-y)²)k for unit-lengthscale SE)."""
+    from stheno_tpu.graph import derivative
+
+    x0, x1, x2 = xs
+    gpc = GPC()
+    f = st.GP(st.SEKernel(), gpc=gpc)
+    df = derivative(f)
+
+    check_process_interface(df, x0, x1, x2, f2=f)
+
+    d = x0[:, None] - x2[None, :]
+    k = np.exp(-0.5 * d**2)
+    np.testing.assert_allclose(cross_cov(df, f, x0, x2), -d * k, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(df.cov2(x0, x2)), (1.0 - d**2) * k, atol=1e-9
+    )
+
+    # closed under the graph ops: observe f, predict f' (SURVEY.md §3.3
+    # cross-process posterior), and derivative of a sum distributes.
+    g = st.GP(st.Matern52Kernel(), gpc=gpc)
+    ds = derivative(f + g)
+    np.testing.assert_allclose(
+        np.asarray(cross_cov(ds, f, x0, x2)), -d * k, atol=1e-9
+    )
