@@ -119,7 +119,13 @@ def mvn_logpdf_chol(y, mean, L):
 
 #: 'auto' uses the fused custom-VJP logpdf wherever the blocked Cholesky
 #: would be used (large single matrix on TPU); 'on'/'off' force.
-LOGPDF_FUSED = "auto"
+#: Default 'off': the fused backward's graph (blocked tri-inv + LAUUM at
+#: N=16k) compiles >20 min through the remote TPU compile relay (two cold
+#: attempts never finished; the non-fused graph compiles in minutes), so it
+#: is opt-in until the compile cost is understood — flip to 'auto'/'on' for
+#: long-running fits where one compile amortises.  Numerics are covered by
+#: tests/test_ops.py::test_fused_logpdf_matches_unfused either way.
+LOGPDF_FUSED = "off"
 
 
 @jax.custom_vjp
