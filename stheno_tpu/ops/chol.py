@@ -119,12 +119,13 @@ def mvn_logpdf_chol(y, mean, L):
 
 #: 'auto' uses the fused custom-VJP logpdf wherever the blocked Cholesky
 #: would be used (large single matrix on TPU); 'on'/'off' force.
-#: Default 'off': the fused backward's graph (blocked tri-inv + LAUUM at
-#: N=16k) compiles >20 min through the remote TPU compile relay (two cold
-#: attempts never finished; the non-fused graph compiles in minutes), so it
-#: is opt-in until the compile cost is understood — flip to 'auto'/'on' for
-#: long-running fits where one compile amortises.  Numerics are covered by
-#: tests/test_ops.py::test_fused_logpdf_matches_unfused either way.
+#: Default 'off': measured at N=16k f32 on v5e, the fused path is *slower*
+#: than blocked-Cholesky-VJP + triangular solves (301.5 ms vs 262.4 ms
+#: steady, bench.py host-pull methodology) and its graph takes 11 min to
+#: compile through the remote relay (vs minutes) — the explicit K⁻¹
+#: (tri-inv + LAUUM) GEMMs don't reach the efficiency the FLOP count
+#: promises.  Kept as an opt-in ('auto'/'on') research path; numerics are
+#: covered by tests/test_ops.py::test_fused_logpdf_matches_unfused.
 LOGPDF_FUSED = "off"
 
 
