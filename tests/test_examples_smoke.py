@@ -19,3 +19,25 @@ def test_convolutional_gp_example(monkeypatch, capsys):
     runpy.run_path("examples/convolutional_gp.py", run_name="__main__")
     out = capsys.readouterr().out
     assert "convolutional_gp: OK" in out
+
+
+def test_differentiation_example(monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["differentiation.py", "--platform", "cpu"])
+    runpy.run_path("examples/differentiation.py", run_name="__main__")
+
+
+def test_sensor_fusion_example(monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["sensor_fusion.py", "--platform", "cpu"])
+    runpy.run_path("examples/sensor_fusion.py", run_name="__main__")
+
+
+def test_naive_linear_mixing_example(monkeypatch):
+    monkeypatch.setattr(
+        sys, "argv", ["naive_linear_mixing.py", "--platform", "cpu"]
+    )
+    runpy.run_path("examples/naive_linear_mixing.py", run_name="__main__")
+
+
+def test_time_varying_blr_example(monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["time_varying_blr.py", "--platform", "cpu"])
+    runpy.run_path("examples/time_varying_blr.py", run_name="__main__")
