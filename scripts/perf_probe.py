@@ -210,6 +210,36 @@ def main():
             return v + jnp.vdot(g, g) * 1e-12
 
         results["chol_grad"] = timed("chol_grad", grad_probe)
+
+    def make_grad_probe(block, bwd_base, via_inv):
+        # library-default forward (block, 256) + tuned backward knobs; the
+        # knobs are trace-time state, so set them before (re)tracing.
+        bc.set_bwd_params(base=bwd_base, via_inv=via_inv)
+
+        @jax.jit
+        def grad_probe(i):
+            xx = x_host + i * 1e-7
+            K = km_se(xx) + 0.1 * jnp.eye(N, dtype=DT)
+
+            def f(Km):
+                L = bc.blocked_cholesky(Km, block, 256)
+                return jnp.vdot(L, L)
+
+            v, g = jax.value_and_grad(f)(K)
+            return v + jnp.vdot(g, g) * 1e-12
+
+        return grad_probe
+
+    # backward-pass A/B: recursion cutoff and TRSM-vs-inverse strategy
+    for name, blk, bb, vi in [
+        ("chol_gradv", 1024, 256, True),      # bench-path configuration
+        ("chol_gradb512", 1024, 512, True),
+        ("chol_gradb1024", 1024, 1024, True),
+        ("chol_grad_noinv", 1024, 256, False),
+    ]:
+        if want(name):
+            results[name] = timed(name, make_grad_probe(blk, bb, vi))
+            bc.set_bwd_params(base=256, via_inv=True)
     for blk in (1024, 4096):
         if want(f"chol_b{blk}"):
             results[f"chol_b{blk}"] = timed(

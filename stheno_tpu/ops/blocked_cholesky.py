@@ -201,6 +201,25 @@ def _chol_bwd_base(L, L_bar):
     return K_raw
 
 
+#: Backward-pass tuning knobs (trace-time state, like _PREC): recursion
+#: cutoff for the blocked reverse rule, and whether the diagonal blocks of
+#: its backward TRSM are applied via explicit triangular inverses (GEMMs)
+#: or XLA's sequential TRSM.  `set_bwd_params` for perf probes / tuning.
+_BWD_BASE = 256
+_BWD_VIA_INV = True
+
+
+def set_bwd_params(base=None, via_inv=None):
+    """Tune the custom-VJP backward (returns previous (base, via_inv))."""
+    global _BWD_BASE, _BWD_VIA_INV
+    prev = (_BWD_BASE, _BWD_VIA_INV)
+    if base is not None:
+        _BWD_BASE = base
+    if via_inv is not None:
+        _BWD_VIA_INV = via_inv
+    return prev
+
+
 def _chol_bwd_rec(L, L_bar, base):
     """Recursive blocked reverse rule for L = chol(K) (lower-triangular
     gradient convention; symmetrised by the caller).
@@ -230,7 +249,7 @@ def _chol_bwd_rec(L, L_bar, base):
     #   K̄21 = L̄21 L11⁻¹   (right-solve, blocked: GEMMs + small TRSMs)
     #   L̄11 += −K̄21ᵀ L21
     K21_bar = blocked_solve_upper_T(
-        L11, Lb21_eff.T, block=max(base, h // 4), via_inv=True
+        L11, Lb21_eff.T, block=max(base, h // 4), via_inv=_BWD_VIA_INV
     ).T
     Lb11_eff = Lb11 - _mm(K21_bar.T, L21)
 
@@ -246,7 +265,7 @@ def _blocked_cholesky_bwd(block, base, L, L_bar):
     symmetric, so only sym(K̄) matters — cholesky_psd symmetrises anyway)."""
     # the output's strict upper triangle is structurally zero: ignore any
     # cotangent that lands there
-    K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=max(base, 256))
+    K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=max(base, _BWD_BASE))
     return (0.5 * (K_raw + K_raw.T),)
 
 
