@@ -211,6 +211,8 @@ def main():
 
         results["chol_grad"] = timed("chol_grad", grad_probe)
 
+    _bwd_defaults = bc.set_bwd_params()  # read without changing
+
     def make_grad_probe(block, bwd_base, via_inv):
         # library-default forward (block, 256) + tuned backward knobs; the
         # knobs are trace-time state, so set them before (re)tracing.
@@ -239,7 +241,7 @@ def main():
     ]:
         if want(name):
             results[name] = timed(name, make_grad_probe(blk, bb, vi))
-            bc.set_bwd_params(base=256, via_inv=True)
+            bc.set_bwd_params(*_bwd_defaults)  # restore library defaults
     for blk in (1024, 4096):
         if want(f"chol_b{blk}"):
             results[f"chol_b{blk}"] = timed(

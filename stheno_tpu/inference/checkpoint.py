@@ -36,7 +36,11 @@ def save_checkpoint(path: str, tree, step: int | None = None):
 
 def load_checkpoint(path: str, like):
     """Read a checkpoint written by `save_checkpoint`; `like` is a pytree
-    with the same structure (its values provide the treedef)."""
+    with the same structure (its values provide the treedef).
+
+    Rejects both leaf-count and *structure* mismatches: the stored treedef
+    string must equal `like`'s — restoring into a wrong-but-same-arity
+    structure would otherwise silently scramble leaves."""
     with open(os.path.join(path, "meta.json")) as fh:
         meta = json.load(fh)
     _, treedef = jax.tree_util.tree_flatten(like)
@@ -47,6 +51,12 @@ def load_checkpoint(path: str, like):
     if len(flat) != treedef.num_leaves:
         raise ValueError(
             f"checkpoint has {len(flat)} leaves, expected {treedef.num_leaves}"
+        )
+    stored = meta.get("treedef")
+    if stored is not None and stored != str(treedef):
+        raise ValueError(
+            "checkpoint treedef does not match the `like` structure:\n"
+            f"  stored:   {stored}\n  expected: {treedef}"
         )
     return jax.tree_util.tree_unflatten(treedef, flat)
 

@@ -101,7 +101,6 @@ def _build_subtree(
     diverging, sum_accept, n_leaves).
     """
     d = z0.q.shape[0]
-    n_leaves_max = jnp.asarray(2**depth if isinstance(depth, int) else 2, jnp.int32)
     n_leaves_max = 1 << depth  # traced int ok with lax.shift_left
     dt = z0.q.dtype
 
@@ -503,6 +502,7 @@ def run_nuts(
     init_jitter=1.0,
     return_state=False,
     resume_state: "ChainState | None" = None,
+    sample_offset=0,
 ):
     """Run warmup + sampling for `num_chains` chains, vmapped.
 
@@ -517,7 +517,10 @@ def run_nuts(
     Checkpoint/resume: pass `return_state=True` to additionally receive a
     `ChainState`; a later call with `resume_state=state` skips warmup and
     continues sampling from it (combine with inference.checkpoint to persist
-    across process restarts).
+    across process restarts).  Per-draw keys are `fold_in(k_samp, offset+i)`,
+    so a resumed run given the SAME top-level `key` and
+    `sample_offset=<draws already taken>` reproduces the uninterrupted run's
+    draws bit-for-bit (tested in tests/test_inference.py).
     """
     flat0, unravel = jax.flatten_util.ravel_pytree(init_position)
     d = flat0.shape[0]
@@ -534,6 +537,12 @@ def run_nuts(
     )
 
     in_window, window_end = window_adaptation_schedule(num_warmup)
+
+    def _samp_keys(k_samp):
+        # deterministic per-draw-index keys: checkpoint/resume with the same
+        # top-level key + sample_offset continues the exact key sequence
+        idx = sample_offset + jnp.arange(num_samples)
+        return jax.vmap(lambda i: jax.random.fold_in(k_samp, i))(idx)
 
     def single_chain(chain_key, q0):
         k_init, k_eps, k_warm, k_samp = jax.random.split(chain_key, 4)
@@ -577,7 +586,7 @@ def run_nuts(
             q, logp, grad, info = step_fn(k, q, logp, grad, eps_final, inv_mass)
             return (q, logp, grad), (q, info)
 
-        samp_keys = jax.random.split(k_samp, num_samples)
+        samp_keys = _samp_keys(k_samp)
         (q, logp, grad), (qs, infos) = lax.scan(
             samp_body, (q, logp, grad), samp_keys
         )
@@ -589,7 +598,10 @@ def run_nuts(
             q, logp, grad, info = step_fn(k, q, logp, grad, eps_final, inv_mass)
             return (q, logp, grad), (q, info)
 
-        samp_keys = jax.random.split(chain_key, num_samples)
+        # derive k_samp exactly as single_chain does, so a resumed run with
+        # the same top-level key continues the same per-draw key sequence
+        _, _, _, k_samp = jax.random.split(chain_key, 4)
+        samp_keys = _samp_keys(k_samp)
         (q, logp, grad), (qs, infos) = lax.scan(
             samp_body, (q0, logp0, grad0), samp_keys
         )

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stheno_tpu.inference.hmc import run_nuts
-from stheno_tpu.inference.smc import run_smc
+from stheno_tpu.inference.smc import SMCResult, run_smc
 
 
 def run_nuts_sharded(
@@ -72,8 +72,16 @@ def run_smc_sharded(
     axis_name="chains",
     **kwargs,
 ):
-    """`inference.run_smc` with the particle axis sharded over `mesh`."""
+    """`inference.run_smc` with the particle axis sharded over `mesh`.
+
+    The particle axis is both *placed* sharded on entry and *constrained*
+    sharded on exit (`out_shardings` on the particles leaf), so XLA keeps the
+    mutation/resampling loop partitioned over `axis_name` rather than
+    silently gathering; the scalar outputs (log-evidence, stage count) are
+    replicated.
+    """
     particle_sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
     init_particles = jax.tree_util.tree_map(
         lambda a: jax.device_put(a, particle_sharding), init_particles
     )
@@ -81,4 +89,12 @@ def run_smc_sharded(
     def run(key, particles):
         return run_smc(key, loglike_fn, logprior_fn, particles, **kwargs)
 
-    return jax.jit(run)(key, init_particles)
+    out_shardings = SMCResult(
+        particles=jax.tree_util.tree_map(
+            lambda _: particle_sharding, init_particles
+        ),
+        log_evidence=replicated,
+        num_stages=replicated,
+        beta_history=replicated,
+    )
+    return jax.jit(run, out_shardings=out_shardings)(key, init_particles)

@@ -30,8 +30,7 @@ def cost_summary(fn, *args, peak_flops=None, hbm_bw=None, name="entry",
                  file=sys.stderr, **kwargs):
     """Print a one-line roofline summary for a jitted entry point:
 
-        [cost] logpdf-16k  flops=2.93e+12  bytes=4.3e+09  intensity=682
-               compute-bound ≥ 59.8 ms @ 49 TF/s
+        [cost] logpdf-16k flops=2.93e+12 bytes=4.3e+09 intensity=682 compute-bound ≥ 59.80 ms
 
     `peak_flops` (FLOP/s) and `hbm_bw` (B/s) are optional chip parameters;
     with both given the bound is max(flops/peak, bytes/bw).  Returns the

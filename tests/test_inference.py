@@ -231,3 +231,53 @@ def test_nuts_checkpoint_resume(key, tmp_path):
     alls = np.concatenate([np.asarray(s1), np.asarray(s2)], axis=1).reshape(-1, 3)
     np.testing.assert_allclose(alls.mean(0), np.zeros(3), atol=0.15)
     np.testing.assert_allclose(alls.std(0), np.ones(3), atol=0.15)
+
+
+def test_nuts_resume_equals_uninterrupted(key, tmp_path):
+    """warmup → checkpoint → resume reproduces the uninterrupted run
+    bit-for-bit given the same top-level key (VERDICT r1 item 8)."""
+    from stheno_tpu.inference import (
+        ChainState,
+        load_checkpoint,
+        run_nuts,
+        save_checkpoint,
+    )
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    S1, S2 = 60, 40
+    full, _ = run_nuts(
+        key, logp, jnp.zeros(3), num_warmup=100, num_samples=S1 + S2,
+        num_chains=2,
+    )
+    seg1, _, state = run_nuts(
+        key, logp, jnp.zeros(3), num_warmup=100, num_samples=S1,
+        num_chains=2, return_state=True,
+    )
+    path = str(tmp_path / "ckpt_eq")
+    save_checkpoint(path, state, step=S1)
+    restored = load_checkpoint(path, state)
+    seg2, _ = run_nuts(
+        key, logp, jnp.zeros(3), num_samples=S2, num_chains=2,
+        resume_state=ChainState(*map(jnp.asarray, restored)),
+        sample_offset=S1,
+    )
+    np.testing.assert_array_equal(np.asarray(seg1), np.asarray(full)[:, :S1])
+    np.testing.assert_array_equal(np.asarray(seg2), np.asarray(full)[:, S1:])
+
+
+def test_checkpoint_rejects_structure_mismatch(tmp_path):
+    """Same arity, different treedef → load must raise, not scramble leaves."""
+    from stheno_tpu.inference import load_checkpoint, save_checkpoint
+
+    tree = {"a": jnp.arange(3.0), "b": jnp.ones(3)}
+    path = str(tmp_path / "ckpt_bad")
+    save_checkpoint(path, tree)
+    # same leaf count, different structure
+    wrong = {"a": jnp.arange(3.0), "c": jnp.ones(3)}
+    with pytest.raises(ValueError, match="treedef"):
+        load_checkpoint(path, wrong)
+    # matching structure loads fine
+    back = load_checkpoint(path, tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.arange(3.0))

@@ -115,6 +115,29 @@ def test_blocked_cholesky_custom_vjp_random_cotangent(rng):
     np.testing.assert_allclose(np.asarray(gb_s), np.asarray(gl_s), atol=1e-8)
 
 
+@pytest.mark.parametrize("bwd_base,via_inv", [(256, True), (512, True), (1024, True), (256, False), (512, False)])
+def test_blocked_cholesky_bwd_knob_configs(rng, bwd_base, via_inv):
+    """Every `set_bwd_params` configuration (incl. the non-default ones that
+    only perf probes used to exercise) must produce gradients matching lax
+    autodiff (ADVICE.md round 1)."""
+    from stheno_tpu.ops import blocked_cholesky as bc
+
+    n = 1024
+    K = _psd(rng, n)
+    ct = jnp.asarray(rng.normal(size=(n, n)))
+    prev = bc.set_bwd_params(base=bwd_base, via_inv=via_inv)
+    try:
+        _, vjp_b = jax.vjp(lambda A: blocked_cholesky(A, block=512, base=256), K)
+        gb = vjp_b(ct)[0]
+    finally:
+        bc.set_bwd_params(*prev)
+    _, vjp_l = jax.vjp(jnp.linalg.cholesky, K)
+    gl = vjp_l(ct)[0]
+    gb_s = 0.5 * (gb + gb.T)
+    gl_s = 0.5 * (gl + gl.T)
+    np.testing.assert_allclose(np.asarray(gb_s), np.asarray(gl_s), atol=2e-8 * n)
+
+
 def test_pallas_chol_block_and_tri_inv(rng):
     """In-VMEM base-case kernels vs numpy (interpret mode on CPU)."""
     from stheno_tpu.ops.pallas.chol_block import (
