@@ -39,6 +39,9 @@ from stheno_tpu.graph import (
     convolve_quadrature,
     AbstractProcess,
     AtomicGP,
+    WrappedGP,
+    ParamFn,
+    StaticFn,
     Stretch,
     Select,
     Periodic,
@@ -99,6 +102,9 @@ __all__ = list(_kernels_all) + [
     "convolve_quadrature",
     "AbstractProcess",
     "AtomicGP",
+    "WrappedGP",
+    "ParamFn",
+    "StaticFn",
     "Stretch",
     "Select",
     "Periodic",

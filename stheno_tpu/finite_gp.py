@@ -86,9 +86,9 @@ class FiniteGP:
 
     def __post_init__(self):
         if not isinstance(self.noise, (DiagNoise, FullNoise)):
-            dtype = jnp.result_type(
-                *jax.tree_util.tree_leaves(self.x), jnp.float32
-            )
+            from stheno_tpu.inputs import input_dtype
+
+            dtype = input_dtype(self.x)
             object.__setattr__(self, "noise", as_noise(self.noise, dtype))
 
     def __len__(self):

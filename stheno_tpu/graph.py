@@ -30,7 +30,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from stheno_tpu.tree import pytree_dataclass, static_field
+from stheno_tpu.tree import is_pytree_callable, pytree_dataclass, static_field
 from stheno_tpu.kernels.base import Kernel, kernelmatrix, kernelmatrix_diag
 from stheno_tpu.means import MeanFunction, as_mean
 from stheno_tpu.inputs import BlockData, input_length
@@ -48,6 +48,14 @@ class GPC:
     All GPCs compare equal / hash identically so that a rebuilt model does not
     invalidate jit caches; programme-membership checks use identity (`is`),
     exactly like the reference's `@assert fa.gpc === fb.gpc`.
+
+    Footgun (deliberate trade-off): because membership is object identity,
+    a graph-bearing pytree that crosses a serialisation boundary (e.g.
+    checkpoint round-trip of a model object, NOT of sampler state) loses
+    programme membership — combining a restored process with one from the
+    original programme raises.  The supported pattern is the reference's own:
+    models are cheap pure functions of θ — checkpoint θ and rebuild via the
+    `@gppp` builder, never pickle process graphs (SURVEY.md §5 "checkpoint").
     """
 
     __slots__ = ("n",)
@@ -100,10 +108,57 @@ def _check_same_gpc(*fs):
 
 
 def _zeros_dtype(*inputs):
-    leaves = [l for x in inputs for l in jax.tree_util.tree_leaves(x)]
-    if not leaves:
-        return jnp.float32
-    return jnp.result_type(*leaves)
+    from stheno_tpu.inputs import input_dtype
+
+    return input_dtype(*inputs)
+
+
+# ---------------------------------------------------------------------------
+# Callable coercion: function-valued shifts / scalings / warps
+# ---------------------------------------------------------------------------
+#
+# The reference differentiates through `b.(x)` / `σ.(x)` via Zygote
+# (src/affine_transformations/addition.jl:62-87, product.jl:27-38).  Here a
+# function-valued op argument is stored as a *pytree child*, so any numeric
+# parameters it carries are traced: pass a `ParamFn(fn, params)` (or any
+# registered pytree callable, e.g. a warp dataclass) and `jax.grad` flows
+# into its params.  Opaque Python callables are wrapped as leafless
+# `StaticFn`s — exactly the old static-aux behavior.
+
+
+@pytree_dataclass
+class StaticFn:
+    """An opaque callable held as static aux data (no traced parameters)."""
+
+    fn: object = static_field()
+
+    def __call__(self, x):
+        return self.fn(x)
+
+
+@pytree_dataclass
+class ParamFn:
+    """`fn(params, x)` with `params` a traced pytree — a differentiable
+    function-valued scaling/shift/warp argument.
+
+        sigma = ParamFn(lambda p, x: p["a"] * jnp.tanh(x), {"a": theta})
+        g = sigma * f        # d logpdf / d theta flows through sigma
+    """
+
+    fn: object = static_field()
+    params: object = None
+
+    def __call__(self, x):
+        return self.fn(self.params, x)
+
+
+def as_callable_tree(f):
+    """Coerce a function-valued op argument into a pytree callable."""
+    if not callable(f):
+        raise TypeError(f"expected a callable, got {type(f)}")
+    if is_pytree_callable(f):
+        return f
+    return StaticFn(f)
 
 
 # ---------------------------------------------------------------------------
@@ -127,13 +182,21 @@ class AbstractProcess:
     ``_cross_var_l/_r`` used by the module-level recursion.
     """
 
+    #: True for leaf nodes (AtomicGP / WrappedGP): cross-cov between two
+    #: distinct leaves is identically zero (independence by construction,
+    #: src/gp/atomic_gp.jl:36-41).
+    _is_atomic = False
+
     # -- arithmetic sugar (the affine-transformation user API) -------------
     def __add__(self, other):
         if isinstance(other, AbstractProcess):
             _check_same_gpc(self, other)
             return SumGP(self, other, n=self.gpc.next_index(), gpc=self.gpc)
         if callable(other):
-            return AddFnGP(other, self, n=self.gpc.next_index(), gpc=self.gpc)
+            return AddFnGP(
+                as_callable_tree(other), self,
+                n=self.gpc.next_index(), gpc=self.gpc,
+            )
         return AddConstGP(jnp.asarray(other), self, n=self.gpc.next_index(), gpc=self.gpc)
 
     def __radd__(self, other):
@@ -151,7 +214,10 @@ class AbstractProcess:
         if isinstance(other, AbstractProcess):
             raise TypeError("Cannot multiply two GPs together. (product.jl:13)")
         if callable(other):
-            return ScaledFnGP(other, self, n=self.gpc.next_index(), gpc=self.gpc)
+            return ScaledFnGP(
+                as_callable_tree(other), self,
+                n=self.gpc.next_index(), gpc=self.gpc,
+            )
         return ScaledGP(jnp.asarray(other), self, n=self.gpc.next_index(), gpc=self.gpc)
 
     def __rmul__(self, other):
@@ -190,6 +256,8 @@ class AtomicGP(AbstractProcess):
     kernel: Kernel
     n: int = static_field()
     gpc: GPC = static_field()
+
+    _is_atomic = True
 
     def mean(self, x):
         return self.mean_fn(x)
@@ -232,16 +300,74 @@ def GP(mean_or_kernel, kernel=None, gpc=None) -> AtomicGP:
     return AtomicGP(as_mean(mean), kern, n=gpc.next_index(), gpc=gpc)
 
 
-def atomic(gp, gpc=None) -> AtomicGP:
+_STATS_INTERFACE = ("mean", "cov", "cov2", "var", "var2")
+
+
+@pytree_dataclass
+class WrappedGP(AbstractProcess):
+    """Leaf node wrapping ANY process-like object — a GPPP, a PosteriorGP,
+    an ApproxPosteriorGP, or a process from *another* programme — as an
+    independent atomic of this programme.
+
+    This is the reference's generic `atomic(gp::AbstractGP, gpc)`
+    (src/gp/atomic_gp.jl:11-22): the wrapped object keeps its internal
+    structure (a wrapped GPPP still routes tagged inputs; a wrapped posterior
+    still carries its conditioning), but *as seen by this programme* it is a
+    fresh independent leaf — cross-cov against any other leaf is zero.
+    Enables nested GPPPs and iterated conditioning across programmes
+    (reference test/gaussian_process_probabilistic_programme.jl:107-120).
+    """
+
+    wrapped: object
+    n: int = static_field()
+    gpc: GPC = static_field()
+
+    _is_atomic = True
+
+    def mean(self, x):
+        return self.wrapped.mean(x)
+
+    def cov(self, x):
+        return self.wrapped.cov(x)
+
+    def cov2(self, x, x2):
+        return self.wrapped.cov2(x, x2)
+
+    def var(self, x):
+        return self.wrapped.var(x)
+
+    def var2(self, x, x2):
+        return self.wrapped.var2(x, x2)
+
+    def _cross_cov_l(self, other, x, x2):  # pragma: no cover
+        raise AssertionError("unreachable: atomic cross handled by cross_cov")
+
+    _cross_cov_r = _cross_cov_l
+    _cross_var_l = _cross_cov_l
+    _cross_var_r = _cross_cov_l
+
+
+def atomic(gp, gpc=None) -> AbstractProcess:
     """Wrap/renumber a process into the programme `gpc` (reference `atomic`,
-    src/gp/atomic_gp.jl:22).  Accepts an AtomicGP (re-registered with a fresh
-    index) or a (mean, kernel) pair."""
+    src/gp/atomic_gp.jl:11-22).  Accepts:
+
+    - an `AtomicGP` — re-registered with a fresh index;
+    - a `(mean, kernel)` pair;
+    - ANY object implementing the stats interface (mean/cov/cov2/var/var2):
+      a GPPP, PosteriorGP, ApproxPosteriorGP, or a derived process from
+      another programme — wrapped as an independent `WrappedGP` leaf.
+    """
     gpc = gpc if gpc is not None else _current_gpc()
     if isinstance(gp, AtomicGP):
         return AtomicGP(gp.mean_fn, gp.kernel, n=gpc.next_index(), gpc=gpc)
     if isinstance(gp, tuple) and len(gp) == 2:
         return AtomicGP(as_mean(gp[0]), gp[1], n=gpc.next_index(), gpc=gpc)
-    raise TypeError("atomic expects an AtomicGP or a (mean, kernel) tuple")
+    if all(hasattr(gp, m) for m in _STATS_INTERFACE):
+        return WrappedGP(gp, n=gpc.next_index(), gpc=gpc)
+    raise TypeError(
+        "atomic expects an AtomicGP, a (mean, kernel) tuple, or any object "
+        "implementing mean/cov/cov2/var/var2 (GPPP, PosteriorGP, ...)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -352,9 +478,13 @@ class AddConstGP(_PassthroughCov):
 
 @pytree_dataclass
 class AddFnGP(_PassthroughCov):
-    """`b + f` for a deterministic function b mapping (N,[D]) -> (N,)."""
+    """`b + f` for a deterministic function b mapping (N,[D]) -> (N,).
 
-    b: object = static_field()
+    `b` is a pytree callable (ParamFn / StaticFn / warp dataclass): any
+    numeric parameters it carries are traced and differentiable (the
+    reference differentiates `b.(x)` via Zygote, addition.jl:62-87)."""
+
+    b: object = None
     f: AbstractProcess = None
     n: int = static_field(default=-1)
     gpc: GPC = static_field(default=None)
@@ -407,9 +537,13 @@ class ScaledGP(AbstractProcess):
 
 @pytree_dataclass
 class ScaledFnGP(AbstractProcess):
-    """`σ * f` for a deterministic function σ mapping (N,[D]) -> (N,)."""
+    """`σ * f` for a deterministic function σ mapping (N,[D]) -> (N,).
 
-    sigma: object = static_field()
+    `sigma` is a pytree callable (ParamFn / StaticFn): its numeric
+    parameters are traced and differentiable (reference: Zygote through
+    `σ.(x)`, product.jl:27-38)."""
+
+    sigma: object = None
     f: AbstractProcess = None
     n: int = static_field(default=-1)
     gpc: GPC = static_field(default=None)
@@ -511,9 +645,12 @@ class Shift:
 
 @pytree_dataclass
 class FnWarp:
-    """Arbitrary vectorized input map (N,[D]) -> (N,[D'])."""
+    """Arbitrary vectorized input map (N,[D]) -> (N,[D']).
 
-    fn: object = static_field()
+    `fn` is a pytree callable: wrap parameterised warps in `ParamFn` to make
+    their parameters traced/differentiable."""
+
+    fn: object = None
 
     def __call__(self, x):
         return self.fn(jnp.asarray(x))
@@ -565,7 +702,7 @@ def compose(f: AbstractProcess, warp) -> CompositeGP:
     if not isinstance(
         warp, (Stretch, Select, Periodic, Shift, FnWarp)
     ) and callable(warp):
-        warp = FnWarp(warp)
+        warp = FnWarp(as_callable_tree(warp))
     return CompositeGP(f, warp, n=f.gpc.next_index(), gpc=f.gpc)
 
 
@@ -879,7 +1016,7 @@ def cross_cov(f: AbstractProcess, g: AbstractProcess, x, x2):
         raise ValueError("cross_cov requires processes from the same programme")
     if f.n == g.n:
         return f.cov2(x, x2)
-    if isinstance(f, AtomicGP) and f.n > g.n or isinstance(g, AtomicGP) and g.n > f.n:
+    if f._is_atomic and f.n > g.n or g._is_atomic and g.n > f.n:
         dt = _zeros_dtype(x, x2)
         return jnp.zeros((input_length(x), input_length(x2)), dtype=dt)
     if f.n >= g.n:
@@ -893,7 +1030,7 @@ def cross_var(f: AbstractProcess, g: AbstractProcess, x, x2):
         raise ValueError("cross_var requires processes from the same programme")
     if f.n == g.n:
         return f.var2(x, x2)
-    if isinstance(f, AtomicGP) and f.n > g.n or isinstance(g, AtomicGP) and g.n > f.n:
+    if f._is_atomic and f.n > g.n or g._is_atomic and g.n > f.n:
         dt = _zeros_dtype(x, x2)
         return jnp.zeros((input_length(x),), dtype=dt)
     if f.n >= g.n:

@@ -15,19 +15,41 @@ tracing — nothing dynamic reaches XLA.  Process tags are static aux data.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from stheno_tpu.tree import pytree_dataclass, static_field
 
 
+def input_dtype(*xs, default=jnp.float32):
+    """Result dtype of the numeric leaves of input collections (process-name
+    strings in collected `[(name, point), ...]` inputs are skipped)."""
+    leaves = [
+        l
+        for x in xs
+        for l in jax.tree_util.tree_leaves(x)
+        if not isinstance(l, str)
+    ]
+    if not leaves:
+        return default
+    # promote against `default` so integer inputs still yield a float dtype
+    return jnp.result_type(*leaves, default)
+
+
 @pytree_dataclass
 class GPPPInput:
-    """Inputs `x` tagged with the process name `p` of a GPPP."""
+    """Inputs `x` tagged with the process name `p` of a GPPP.
+
+    `x` is usually an array, but may itself be a GPPPInput/BlockData when the
+    tagged process is a wrapped GPPP (nested programmes — reference
+    test/gaussian_process_probabilistic_programme.jl:107-120)."""
 
     p: str = static_field()
-    x: jnp.ndarray = None
+    x: object = None
 
     def __len__(self):
+        if isinstance(self.x, (GPPPInput, BlockData)):
+            return len(self.x)
         return int(jnp.shape(self.x)[0])
 
 
@@ -56,9 +78,10 @@ class BlockData:
 
 
 def _block_len(b) -> int:
-    if isinstance(b, GPPPInput):
+    if isinstance(b, (GPPPInput, BlockData)):
         return len(b)
-    if isinstance(b, BlockData):
+    if isinstance(b, (list, tuple)):
+        # a "collected" block: [(name, point), ...]
         return len(b)
     return int(jnp.shape(b)[0])
 
@@ -66,6 +89,9 @@ def _block_len(b) -> int:
 def input_length(x) -> int:
     """Number of points in any supported input collection."""
     if isinstance(x, (GPPPInput, BlockData)):
+        return len(x)
+    if isinstance(x, (list, tuple)):
+        # a "collected" [(name, point), ...] vector
         return len(x)
     return int(jnp.shape(x)[0])
 

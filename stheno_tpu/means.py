@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from stheno_tpu.tree import pytree_dataclass, static_field
+from stheno_tpu.tree import is_pytree_callable, pytree_dataclass, static_field
 from stheno_tpu.ops.pairwise import ensure_2d
 
 
@@ -33,9 +33,14 @@ class ConstMean(MeanFunction):
 
 @pytree_dataclass
 class FunctionMean(MeanFunction):
-    """m(x) = fn(x) applied per input point; `fn` maps (N,[D]) -> (N,)."""
+    """m(x) = fn(x) applied per input point; `fn` maps (N,[D]) -> (N,).
 
-    fn: object = static_field()
+    `fn` is a pytree child: pass a `graph.ParamFn(fn, params)` (or any
+    registered pytree callable) to make the mean's parameters traced and
+    differentiable; opaque callables are coerced to static aux on entry
+    (`as_mean`)."""
+
+    fn: object = None
 
     def __call__(self, x):
         return jnp.asarray(self.fn(jnp.asarray(x)))
@@ -49,5 +54,9 @@ def as_mean(m) -> MeanFunction:
     if isinstance(m, MeanFunction):
         return m
     if callable(m):
-        return FunctionMean(m)
+        if is_pytree_callable(m):
+            return FunctionMean(m)
+        from stheno_tpu.graph import StaticFn
+
+        return FunctionMean(StaticFn(m))
     return ConstMean(jnp.asarray(m))

@@ -25,6 +25,16 @@ def static_field(**kwargs):
     return field(metadata=metadata, **kwargs)
 
 
+def is_pytree_callable(f) -> bool:
+    """True if `f` is a callable that flattens into pytree structure (a
+    registered dataclass like a warp or `ParamFn`) rather than an opaque
+    leaf — i.e. its numeric fields are visible to jit/grad."""
+    if not callable(f):
+        return False
+    leaves = jax.tree_util.tree_leaves(f)
+    return not (len(leaves) == 1 and leaves[0] is f)
+
+
 def pytree_dataclass(cls=None, **kwargs):
     """Decorator: frozen dataclass registered as a JAX pytree.
 

@@ -294,3 +294,65 @@ def test_derivative_process_interface_and_oracle(xs):
     np.testing.assert_allclose(
         np.asarray(cross_cov(ds, f, x0, x2)), -d * k, atol=1e-9
     )
+
+
+def test_paramfn_differentiable_ops(rng, key):
+    """Function-valued scalings/shifts/warps/means with TRACED parameters:
+    d logpdf / d theta through σ(x;θ)·f, b(x;θ)+f, warp(x;θ), m(x;θ) matches
+    finite differences (reference differentiates b.(x)/σ.(x) via Zygote,
+    addition.jl:62-87, product.jl:27-38)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=9))
+    y = jnp.asarray(rng.normal(size=9))
+
+    def nlml(theta):
+        with GPC() as gpc:
+            f = st.GP(
+                st.ParamFn(lambda p, xx: p * jnp.cos(xx), theta["m"]),
+                st.SEKernel(),
+            )
+            g = st.ParamFn(lambda p, xx: jnp.tanh(p * xx) + 1.0, theta["s"]) * f
+            h = g + st.ParamFn(lambda p, xx: p * xx, theta["b"])
+            w = st.compose(h, st.ParamFn(lambda p, xx: xx * p, theta["w"]))
+        return -st.logpdf(w(x, 0.1), y)
+
+    theta = {
+        "m": jnp.asarray(0.7),
+        "s": jnp.asarray(1.3),
+        "b": jnp.asarray(-0.4),
+        "w": jnp.asarray(0.9),
+    }
+    g = jax.grad(nlml)(theta)
+    eps = 1e-6
+    for k in theta:
+        tp = dict(theta); tp[k] = theta[k] + eps
+        tm = dict(theta); tm[k] = theta[k] - eps
+        fd = (nlml(tp) - nlml(tm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[k]), float(fd), rtol=1e-5,
+                                   err_msg=f"grad mismatch for {k}")
+    # plain opaque callables still work (coerced to StaticFn)
+    with GPC() as gpc:
+        f = st.GP(st.SEKernel())
+        h = (lambda xx: jnp.sin(xx)) * f + (lambda xx: 0.1 * xx)
+    assert np.isfinite(float(st.logpdf(h(x, 0.1), y)))
+
+
+def test_paramfn_under_jit(rng, key):
+    """ParamFn params are pytree leaves: the builder retraces cleanly under
+    jit with traced hyperparameters."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=6))
+    y = jnp.asarray(rng.normal(size=6))
+
+    @jax.jit
+    def nlml(s):
+        with GPC() as gpc:
+            f = st.GP(st.SEKernel())
+            g = st.ParamFn(lambda p, xx: p * jnp.exp(-xx**2), s) * f
+        return -st.logpdf(g(x, 0.1), y)
+
+    v1 = float(nlml(jnp.asarray(1.0)))
+    v2 = float(nlml(jnp.asarray(2.0)))  # same trace, different value
+    assert np.isfinite(v1) and np.isfinite(v2) and v1 != v2
