@@ -12,8 +12,19 @@ from stheno_tpu.parallel.chains import run_nuts_sharded, run_smc_sharded
 from stheno_tpu.parallel.cholesky import (
     distributed_cholesky,
     distributed_solve_lower,
+    distributed_solve_upper_T,
+    distributed_chol_solve,
     distributed_logdet_chol,
+    distributed_lower_matvec,
     distributed_mvn_logpdf,
+)
+from stheno_tpu.parallel.gppp import (
+    sharded_cov,
+    sharded_chol,
+    sharded_logpdf,
+    sharded_rand,
+    sharded_posterior,
+    ShardedPosteriorGP,
 )
 from stheno_tpu.parallel.big import (
     sharded_kernelmatrix,
@@ -30,8 +41,17 @@ __all__ = [
     "run_smc_sharded",
     "distributed_cholesky",
     "distributed_solve_lower",
+    "distributed_solve_upper_T",
+    "distributed_chol_solve",
     "distributed_logdet_chol",
+    "distributed_lower_matvec",
     "distributed_mvn_logpdf",
+    "sharded_cov",
+    "sharded_chol",
+    "sharded_logpdf",
+    "sharded_rand",
+    "sharded_posterior",
+    "ShardedPosteriorGP",
     "sharded_kernelmatrix",
     "sharded_matvec",
     "big_gp_logpdf",

@@ -1,12 +1,14 @@
-"""Distributed blocked Cholesky + triangular solve + logpdf over a row-sharded
-mesh axis — the big-N exact-GP path (SURVEY.md §2.3 'TP' row and §7.3: the
-single riskiest component).
+"""Distributed blocked Cholesky + triangular solves + logpdf over a
+row-sharded mesh axis — the big-N exact-GP path (SURVEY.md §2.3 'TP' row and
+§7.3: the single riskiest component).
 
 Layout: K (N, N) with **rows block-sharded** over mesh axis `rows` (device d
 holds the contiguous row slab [d·N/P, (d+1)·N/P)).  Right-looking panel
-algorithm, one `lax.fori_loop` over column panels inside `shard_map`:
+algorithm, with the panel loop **statically unrolled** (N/B steps, like the
+single-chip blocked factorisation) so every trailing-update GEMM runs on the
+exact static trailing column slice — no masked full-width GEMMs:
 
-  for each B-column panel k:
+  for each B-column panel k (c = k·B, static):
     1. every device extracts its (possibly empty) slice of the diagonal
        block; a `psum` assembles it everywhere (replicated O(B²) compute);
     2. L_kk = chol(diag) computed redundantly on all devices (cheap, avoids
@@ -14,16 +16,22 @@ algorithm, one `lax.fori_loop` over column panels inside `shard_map`:
     3. each device TRSMs its local panel rows;
     4. `all_gather` of the panel column (N·B) — the only O(N) communication,
        riding ICI;
-    5. trailing update of local rows: one (N/P × B) @ (B × N) MXU matmul,
-       masked to the active trailing region.
+    5. trailing update of local rows below the panel: one
+       (n_loc × B) @ (B × N−c−B) MXU matmul on the *static* trailing slice.
 
-FLOPs per device: ~N³/(2P) + masking overhead; communication: (N/B) rounds ×
-N·B words = N² words total, independent of P.  Panel size B should be an MXU
-multiple (128 on TPU).
+Per-device program cost: Σ_k n_loc·B·(N−kB) ≈ **N³/(2P) multiply-adds**
+(verified against the XLA cost model in tests/test_parallel.py).  That is
+the SPMD floor for a 1-D *contiguous-slab* row layout: the last device's
+rows genuinely need every trailing column, and every device executes the
+same program.  A 2-D block-cyclic ('row','col') layout would cut this to
+~N³/(6P) MACs at the price of a second collective axis — the identified
+round-3 lever if pod-scale profiles show the factorisation dominating.
+Communication: (N/B) rounds × N·B words = N² words total, independent of P.
+Panel size B should be an MXU multiple (128+ on TPU).
 
-The forward/backward substitutions follow the same panel structure, and
-`distributed_mvn_logpdf` composes kernel-rows → Cholesky → solve → logdet
-with only psum/all_gather collectives.
+The forward/backward substitutions follow the same panel structure (multi-RHS:
+b may be (N,) or (N, K)), and `distributed_mvn_logpdf` composes kernel-rows →
+Cholesky → solve → logdet with only psum/all_gather collectives.
 """
 
 from __future__ import annotations
@@ -50,33 +58,45 @@ def _local_slab(n, p):
     return n // p
 
 
+def _assemble_diag_block(M_loc, c, B, row_base, n_loc, axis_name):
+    """psum-assemble the (B, B) diagonal block at global offset c from the
+    row-sharded M (each device contributes its slice or zeros)."""
+    dt = M_loc.dtype
+    start = jnp.clip(jnp.int32(c) - row_base, 0, n_loc - B)
+    mine = (jnp.int32(c) >= row_base) & (jnp.int32(c + B) <= row_base + n_loc)
+    contrib = lax.dynamic_slice(M_loc, (start, jnp.int32(c)), (B, B))
+    return lax.psum(
+        jnp.where(mine, contrib, jnp.zeros((B, B), dt)), axis_name
+    )
+
+
 def _chol_panel_loop(K_loc, block_size, axis_name, n_total):
-    """The shard_map body: in-place panel factorisation of the local slab."""
+    """The shard_map body: in-place panel factorisation of the local slab.
+
+    Statically unrolled over panels — the trailing update is an exact-shape
+    GEMM per step (no column masking), so per-device program FLOPs are
+    N³/(2P) + O(N²B) instead of the N³/P a masked full-width update costs.
+    """
     p = lax.axis_size(axis_name)
     rank = _axis_rank(axis_name)
     n_loc = K_loc.shape[0]
     dt = K_loc.dtype
-    nb = n_total // block_size
     B = block_size
+    nb = n_total // B
 
     row_base = jnp.int32(rank) * n_loc  # global index of this slab's first row
     local_rows = row_base + jnp.arange(n_loc)  # (n_loc,) global row ids
     cols = jnp.arange(n_total)
 
-    def body(k, K_loc):
-        c = jnp.int32(k) * B  # global first column of the panel
+    for kb in range(nb):
+        c = kb * B  # static
 
         # -- 1+2: assemble the diagonal block everywhere, factor it --------
-        start = jnp.clip(c - row_base, 0, n_loc - B)
-        mine = (c >= row_base) & (c + B <= row_base + n_loc)
-        diag_contrib = lax.dynamic_slice(K_loc, (start, c), (B, B))
-        diag = lax.psum(
-            jnp.where(mine, diag_contrib, jnp.zeros((B, B), dt)), axis_name
-        )
+        diag = _assemble_diag_block(K_loc, c, B, row_base, n_loc, axis_name)
         L_kk = _chol.cholesky_psd(diag)
 
         # -- 3: TRSM local panel rows -------------------------------------
-        panel = lax.dynamic_slice(K_loc, (jnp.int32(0), c), (n_loc, B))  # (n_loc, B)
+        panel = K_loc[:, c : c + B]  # (n_loc, B), static slice
         # L_ik = A_ik L_kk^{-T}  ⇔  solve L_kk X^T = A^T
         P_loc = _chol.solve_lower(L_kk, panel.T).T  # (n_loc, B)
 
@@ -84,29 +104,29 @@ def _chol_panel_loop(K_loc, block_size, axis_name, n_total):
         # already final (zeros in these columns); rows below get the TRSM.
         in_diag = (local_rows >= c) & (local_rows < c + B)
         below = local_rows >= c + B
-        # row i in diag block ↦ row (i - c) of L_kk
         diag_rows = L_kk[jnp.clip(local_rows - c, 0, B - 1)]
         new_panel = jnp.where(
             in_diag[:, None], diag_rows, jnp.where(below[:, None], P_loc, 0.0)
         )
-        K_loc = lax.dynamic_update_slice(K_loc, new_panel, (jnp.int32(0), c))
+        K_loc = lax.dynamic_update_slice(K_loc, new_panel, (jnp.int32(0), jnp.int32(c)))
+
+        if c + B >= n_total:
+            break
 
         # -- 4: gather the full panel column ------------------------------
         P_full = lax.all_gather(new_panel, axis_name)  # (p, n_loc, B)
         P_full = P_full.reshape(p * n_loc, B)  # (N, B) natural order
 
-        # -- 5: trailing update -------------------------------------------
-        row_act = below[:, None]  # local rows strictly below the panel
-        col_act = (cols >= c + B)[None, :]  # trailing columns
-        # accumulation precision matters here exactly as in the single-chip
-        # blocked factorisation (ops/blocked_cholesky.py): TPU's default
-        # 1-pass-bf16 matmul drives late diagonal blocks indefinite at large
-        # N — route through the shared >=HIGH-precision GEMM.
-        update = _mm(new_panel * row_act, P_full.T * col_act)
-        K_loc = K_loc - jnp.where(col_act, update, 0.0)
-        return K_loc
+        # -- 5: trailing update on the static trailing column slice -------
+        # rows not strictly below the panel contribute zero (their columns
+        # beyond c+B are upper-triangle / already-final); accumulation
+        # precision matters exactly as in the single-chip blocked
+        # factorisation (ops/blocked_cholesky.py): route through the shared
+        # >=HIGH-precision GEMM.
+        trail = P_full[c + B :]  # (N - c - B, B), static slice
+        update = _mm(new_panel * below[:, None], trail.T)  # (n_loc, N-c-B)
+        K_loc = K_loc.at[:, c + B :].add(-update)
 
-    K_loc = lax.fori_loop(0, nb, body, K_loc)
     # zero the strict upper triangle of the global matrix in local rows
     K_loc = jnp.where(cols[None, :] <= local_rows[:, None], K_loc, 0.0)
     return K_loc
@@ -141,9 +161,8 @@ def distributed_cholesky(mesh, K, block_size=128, axis_name="rows"):
 
 
 def _fwd_solve_loop(L_loc, b_loc, block_size, axis_name, n_total):
-    """Solve L a = b (L lower, rows sharded; b sharded the same way).
-    Returns `a` replicated on every device."""
-    p = lax.axis_size(axis_name)
+    """Solve L a = b (L lower, rows sharded; b sharded the same way; b may be
+    (n_loc,) or (n_loc, K)).  Returns `a` replicated on every device."""
     rank = _axis_rank(axis_name)
     n_loc = L_loc.shape[0]
     dt = L_loc.dtype
@@ -151,6 +170,11 @@ def _fwd_solve_loop(L_loc, b_loc, block_size, axis_name, n_total):
     nb = n_total // B
     row_base = jnp.int32(rank) * n_loc
     local_rows = row_base + jnp.arange(n_loc)
+
+    vec = b_loc.ndim == 1
+    if vec:
+        b_loc = b_loc[:, None]
+    k_rhs = b_loc.shape[1]
 
     # running local residual r = b - L[:, :done] @ a[:done]
     def body(k, carry):
@@ -168,35 +192,115 @@ def _fwd_solve_loop(L_loc, b_loc, block_size, axis_name, n_total):
             axis_name,
         )
         r_blk = lax.psum(
-            jnp.where(mine, lax.dynamic_slice(r_loc, (start,), (B,)), jnp.zeros((B,), dt)),
+            jnp.where(
+                mine,
+                lax.dynamic_slice(r_loc, (start, jnp.int32(0)), (B, k_rhs)),
+                jnp.zeros((B, k_rhs), dt),
+            ),
             axis_name,
         )
         a_blk = _chol.solve_lower(Lkk, r_blk)
-        a = lax.dynamic_update_slice(a, a_blk, (c,))
+        a = lax.dynamic_update_slice(a, a_blk, (c, jnp.int32(0)))
         # update residual of rows below the panel
         L_panel = lax.dynamic_slice(L_loc, (jnp.int32(0), c), (n_loc, B))
-        below = (local_rows >= c + B)
-        r_loc = r_loc - jnp.where(below, _mm(L_panel, a_blk[:, None])[:, 0], 0.0)
+        below = (local_rows >= c + B)[:, None]
+        r_loc = r_loc - jnp.where(below, _mm(L_panel, a_blk), 0.0)
         return r_loc, a
 
-    a0 = jnp.zeros((n_total,), dt)
+    a0 = jnp.zeros((n_total, k_rhs), dt)
     _, a = lax.fori_loop(0, nb, body, (b_loc, a0))
-    return a
+    return a[:, 0] if vec else a
 
 
 def distributed_solve_lower(mesh, L, b, block_size=128, axis_name="rows"):
-    """Solve L a = b with L row-sharded; returns `a` replicated."""
+    """Solve L a = b with L row-sharded and b row-sharded the same way
+    (b: (N,) or (N, K)); returns `a` replicated."""
     n = L.shape[0]
+    b_spec = P(axis_name) if b.ndim == 1 else P(axis_name, None)
     fn = shard_map(
         functools.partial(
             _fwd_solve_loop, block_size=block_size, axis_name=axis_name, n_total=n
         ),
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name)),
+        in_specs=(P(axis_name, None), b_spec),
         out_specs=P(),
         check_vma=False,
     )
     return fn(L, b)
+
+
+def _bwd_solve_loop(L_loc, b, block_size, axis_name, n_total):
+    """Solve Lᵀ a = b (L lower, rows sharded; b REPLICATED, (N,) or (N, K)).
+    Returns `a` replicated — blocked backward substitution from the last
+    panel; each step's off-diagonal application is a local (B × n_loc) GEMM
+    against the already-solved entries in this device's rows, psum-reduced.
+    """
+    rank = _axis_rank(axis_name)
+    n_loc = L_loc.shape[0]
+    dt = L_loc.dtype
+    B = block_size
+    nb = n_total // B
+    row_base = jnp.int32(rank) * n_loc
+    local_rows = row_base + jnp.arange(n_loc)
+
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    k_rhs = b.shape[1]
+
+    def body(i, a):
+        k = nb - 1 - i
+        c = jnp.int32(k) * B
+        start = jnp.clip(c - row_base, 0, n_loc - B)
+        mine = (c >= row_base) & (c + B <= row_base + n_loc)
+        Lkk = lax.psum(
+            jnp.where(
+                mine,
+                lax.dynamic_slice(L_loc, (start, c), (B, B)),
+                jnp.zeros((B, B), dt),
+            ),
+            axis_name,
+        )
+        # residual: b[c:c+B] − Σ_{rows i > c+B} L[i, c:c+B]ᵀ a[i]
+        panel = lax.dynamic_slice(L_loc, (jnp.int32(0), c), (n_loc, B))
+        below = (local_rows >= c + B)[:, None]
+        a_loc = lax.dynamic_slice(a, (row_base, jnp.int32(0)), (n_loc, k_rhs))
+        contrib = lax.psum(
+            _mm((panel * below).T, a_loc), axis_name
+        )  # (B, k_rhs)
+        r_blk = lax.dynamic_slice(b, (c, jnp.int32(0)), (B, k_rhs)) - contrib
+        a_blk = _chol.solve_lower(Lkk, r_blk, trans=True)
+        return lax.dynamic_update_slice(a, a_blk, (c, jnp.int32(0)))
+
+    a0 = jnp.zeros((n_total, k_rhs), dt)
+    a = lax.fori_loop(0, nb, body, a0)
+    return a[:, 0] if vec else a
+
+
+def distributed_solve_upper_T(mesh, L, b, block_size=128, axis_name="rows"):
+    """Solve Lᵀ a = b with L row-sharded and b replicated ((N,) or (N, K));
+    returns `a` replicated.  Together with `distributed_solve_lower` this
+    gives the (L Lᵀ)⁻¹ application the posterior path needs."""
+    n = L.shape[0]
+    fn = shard_map(
+        functools.partial(
+            _bwd_solve_loop, block_size=block_size, axis_name=axis_name, n_total=n
+        ),
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(L, b)
+
+
+def distributed_chol_solve(mesh, L, b, block_size=128, axis_name="rows"):
+    """(L Lᵀ)⁻¹ b with L row-sharded; b row-sharded (its producer usually
+    is); returns the solution replicated."""
+    z = distributed_solve_lower(mesh, L, b, block_size=block_size, axis_name=axis_name)
+    return distributed_solve_upper_T(
+        mesh, L, z, block_size=block_size, axis_name=axis_name
+    )
 
 
 def distributed_logdet_chol(mesh, L, axis_name="rows"):
@@ -216,6 +320,26 @@ def distributed_logdet_chol(mesh, L, axis_name="rows"):
         check_vma=False,
     )
     return fn(L)
+
+
+def distributed_lower_matvec(mesh, L, v, axis_name="rows"):
+    """y = L v for a row-sharded L and replicated v ((N,) or (N, K));
+    returns y row-sharded (the distributed `rand` building block)."""
+
+    def body(L_loc, v_full):
+        if v_full.ndim == 1:
+            return _mm(L_loc, v_full[:, None])[:, 0]
+        return _mm(L_loc, v_full)
+
+    out_spec = P(axis_name) if v.ndim == 1 else P(axis_name, None)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(L, v)
 
 
 def distributed_mvn_logpdf(mesh, K, mean, y, block_size=128, axis_name="rows"):

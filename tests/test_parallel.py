@@ -173,3 +173,174 @@ def test_run_smc_sharded(key):
     np.testing.assert_allclose(
         np.asarray(res.particles).std(0), np.sqrt(0.5) * np.ones(2), atol=0.12
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed GPPP path (parallel/gppp.py)
+# ---------------------------------------------------------------------------
+
+from stheno_tpu import GPPPInput, BlockData, gppp
+from stheno_tpu.parallel import (
+    distributed_solve_upper_T,
+    distributed_chol_solve,
+    distributed_lower_matvec,
+    sharded_logpdf,
+    sharded_rand,
+    sharded_posterior,
+)
+
+
+@gppp
+def _composite(theta):
+    f1 = st.GP(theta["v"] * st.with_lengthscale(st.SEKernel(), theta["l"]))
+    f2 = st.GP(st.Matern32Kernel())
+    return dict(f1=f1, f2=f2, f3=f1 + f2)
+
+
+_THETA = dict(v=jnp.asarray(1.3), l=jnp.asarray(0.7))
+
+
+def test_distributed_solves_multirhs(rng):
+    mesh = rows_mesh(8)
+    n, B, k = 64, 8, 3
+    K = _psd(rng, n)
+    Bm = jnp.asarray(rng.normal(size=(n, k)))
+    K_sh = shard_rows(mesh, K)
+    L = distributed_cholesky(mesh, K_sh, block_size=B)
+    L_np = np.linalg.cholesky(np.asarray(K))
+    X = distributed_solve_lower(mesh, L, shard_rows(mesh, Bm), block_size=B)
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(L_np, Bm), atol=1e-8)
+    Xt = distributed_solve_upper_T(mesh, L, Bm, block_size=B)
+    np.testing.assert_allclose(np.asarray(Xt), np.linalg.solve(L_np.T, Bm), atol=1e-8)
+    S = distributed_chol_solve(mesh, L, shard_rows(mesh, Bm), block_size=B)
+    np.testing.assert_allclose(np.asarray(S), np.linalg.solve(np.asarray(K), Bm), atol=1e-7)
+    # triangular matvec
+    v = jnp.asarray(rng.normal(size=n))
+    y = distributed_lower_matvec(mesh, L, v)
+    np.testing.assert_allclose(np.asarray(y), L_np @ np.asarray(v), atol=1e-8)
+
+
+def test_sharded_gppp_logpdf_matches_dense(rng):
+    """Composite programme (f3 = f1 + f2), nonzero hyperparameters, tagged
+    inputs — sharded logpdf == dense logpdf to 1e-8."""
+    mesh = rows_mesh(8)
+    n = 128
+    x = jnp.linspace(-3.0, 3.0, n)
+    y = jnp.asarray(rng.normal(size=n))
+
+    @jax.jit
+    def lp_sharded(theta):
+        f = _composite(theta)
+        return sharded_logpdf(mesh, f(GPPPInput("f3", x), 0.1), y, block_size=8)
+
+    f = _composite(_THETA)
+    dense = float(st.logpdf(f(GPPPInput("f3", x), 0.1), y))
+    np.testing.assert_allclose(float(lp_sharded(_THETA)), dense, rtol=1e-9)
+
+
+def test_sharded_gppp_logpdf_gradients(rng):
+    """FD-check hyperparameter gradients through the sharded GPPP pipeline
+    (collectives + distributed factorisation)."""
+    mesh = rows_mesh(8)
+    n = 64
+    x = jnp.linspace(-3.0, 3.0, n)
+    y = jnp.asarray(rng.normal(size=n))
+
+    def nlml(theta):
+        f = _composite(theta)
+        return -sharded_logpdf(mesh, f(GPPPInput("f3", x), 0.1), y, block_size=8)
+
+    g = jax.jit(jax.grad(nlml))(_THETA)
+    eps = 1e-6
+    for k in _THETA:
+        tp = dict(_THETA); tp[k] = _THETA[k] + eps
+        tm = dict(_THETA); tm[k] = _THETA[k] - eps
+        fd = (nlml(tp) - nlml(tm)) / (2 * eps)
+        np.testing.assert_allclose(float(g[k]), float(fd), rtol=1e-4,
+                                   err_msg=f"grad mismatch for {k}")
+
+
+def test_sharded_posterior_cross_process(rng, key):
+    """Condition on :f3 sharded, predict :f1 marginals — matches the dense
+    PosteriorGP to 1e-8 (cross-process prediction from the sharded factor)."""
+    mesh = rows_mesh(8)
+    n, np_pred = 128, 16
+    x = jnp.linspace(-3.0, 3.0, n)
+    xp = jnp.linspace(-2.5, 2.5, np_pred)
+    f = _composite(_THETA)
+    fx = f(GPPPInput("f3", x), 0.1)
+    y = st.rand(key, fx)
+
+    post_dense = st.posterior(fx, y)
+
+    @jax.jit
+    def predict(theta, y):
+        fth = _composite(theta)
+        post = sharded_posterior(mesh, fth(GPPPInput("f3", x), 0.1), y, block_size=8)
+        xq = GPPPInput("f1", xp)
+        m, v = post.mean_and_var(xq)
+        C = post.cov(xq)
+        return m, v, C
+
+    m, v, C = predict(_THETA, y)
+    xq = GPPPInput("f1", xp)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(post_dense.mean(xq)), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(post_dense.var(xq)), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(C), np.asarray(post_dense.cov(xq)), atol=1e-8)
+    # BlockData prediction across two processes
+    xb = BlockData(GPPPInput("f1", xp), GPPPInput("f2", xp))
+    post_sh = jax.jit(
+        lambda y: sharded_posterior(mesh, f(GPPPInput("f3", x), 0.1), y, block_size=8).mean(xb)
+    )(y)
+    np.testing.assert_allclose(
+        np.asarray(post_sh), np.asarray(post_dense.mean(xb)), atol=1e-8
+    )
+
+
+def test_sharded_rand_statistics(rng):
+    """Distributed prior sampling: moments of many sharded draws match the
+    dense mean/cov."""
+    mesh = rows_mesh(8)
+    n = 64
+    x = jnp.linspace(-3.0, 3.0, n)
+    f = _composite(_THETA)
+    fx = f(GPPPInput("f3", x), 0.1)
+    m, K = fx.mean_and_cov()
+
+    @jax.jit
+    def draw(key):
+        return sharded_rand(key, mesh, fx, block_size=8)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 4000)
+    ys = np.stack([np.asarray(draw(k)) for k in keys[:4]])
+    assert ys.shape == (4, n)
+    # deterministic given the key
+    np.testing.assert_array_equal(np.asarray(draw(keys[0])), ys[0])
+    # single-draw correctness vs dense path with the same eps: L eps differs
+    # between factorisations only by sign conventions — compare moments via
+    # the quadratic form instead: z = L^{-1}(y - m) should be iid N(0,1)
+    L_np = np.linalg.cholesky(np.asarray(K))
+    zs = np.linalg.solve(L_np, (np.stack([np.asarray(draw(k)) for k in keys[:200]]) - np.asarray(m)).T)
+    # 12.8k whitened values: mean se ≈ 0.009, std se ≈ 0.006 → 5σ bounds
+    assert abs(zs.mean()) < 0.05
+    assert abs(zs.std() - 1.0) < 0.04
+
+
+def test_distributed_cholesky_flops_near_slab_floor(rng):
+    """The unrolled trailing update must cost ~N³/(2P) multiply-adds per
+    device by the XLA cost model — the 1-D contiguous-slab SPMD floor (the
+    old masked full-width update cost 2×; VERDICT r1 item 4)."""
+    from stheno_tpu.utils.cost import cost_analysis
+
+    mesh = rows_mesh(8)
+    n, B = 256, 32
+    K = _psd(rng, n)
+    K_sh = shard_rows(mesh, K)
+    fn = jax.jit(lambda K: distributed_cholesky(mesh, K, block_size=B))
+    ca = cost_analysis(fn, K_sh)
+    flops = float(ca.get("flops", 0.0))
+    if flops <= 0:
+        pytest.skip("backend reports no cost analysis")
+    macs = flops / 2.0  # XLA counts mul+add separately
+    floor = n**3 / (2 * 8)
+    assert macs < 1.25 * floor, f"per-device MACs {macs:.3g} vs floor {floor:.3g}"
