@@ -79,6 +79,15 @@ def main():
     print(f"compile+first: {time.time() - t0:.1f}s nlml={v0:.2f}",
           file=sys.stderr)
 
+    # roofline context on stderr (XLA cost model of the compiled graph)
+    try:
+        from stheno_tpu.utils.cost import cost_summary
+
+        cost_summary(step, theta, 0, peak_flops=PEAK_F32, hbm_bw=819e9,
+                     name="logpdf+grad-16k")
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"[cost] unavailable: {e}", file=sys.stderr)
+
     # steady state: per-iteration host-pull forcing
     reps = 5
     t0 = time.time()
