@@ -213,10 +213,11 @@ def main():
 
     _bwd_defaults = bc.set_bwd_params()  # read without changing
 
-    def make_grad_probe(block, bwd_base, via_inv):
+    def make_grad_probe(block, bwd_base, via_inv, mode="rec", bwd_block=1024):
         # library-default forward (block, 256) + tuned backward knobs; the
         # knobs are trace-time state, so set them before (re)tracing.
-        bc.set_bwd_params(base=bwd_base, via_inv=via_inv)
+        bc.set_bwd_params(base=bwd_base, via_inv=via_inv, mode=mode,
+                          block=bwd_block)
 
         @jax.jit
         def grad_probe(i):
@@ -232,15 +233,19 @@ def main():
 
         return grad_probe
 
-    # backward-pass A/B: recursion cutoff and TRSM-vs-inverse strategy
-    for name, blk, bb, vi in [
-        ("chol_gradv", 1024, 256, True),      # bench-path configuration
-        ("chol_gradb512", 1024, 512, True),
-        ("chol_gradb1024", 1024, 1024, True),
-        ("chol_grad_noinv", 1024, 256, False),
+    # backward-pass A/B: algorithm (rec 2-way split ~2n³/3 MACs vs iter
+    # symmetric panel sweep n³/3), recursion cutoff, TRSM-vs-inverse strategy
+    for name, blk, bb, vi, mode, bblk in [
+        ("chol_grad_rec", 1024, 256, True, "rec", 1024),   # round-1 bench path
+        ("chol_gradb512", 1024, 512, True, "rec", 1024),
+        ("chol_gradb1024", 1024, 1024, True, "rec", 1024),
+        ("chol_grad_noinv", 1024, 256, False, "rec", 1024),
+        ("chol_grad_iter1024", 1024, 256, True, "iter", 1024),
+        ("chol_grad_iter2048", 1024, 256, True, "iter", 2048),
+        ("chol_grad_iter512", 1024, 256, True, "iter", 512),
     ]:
         if want(name):
-            results[name] = timed(name, make_grad_probe(blk, bb, vi))
+            results[name] = timed(name, make_grad_probe(blk, bb, vi, mode, bblk))
             bc.set_bwd_params(*_bwd_defaults)  # restore library defaults
     for blk in (1024, 4096):
         if want(f"chol_b{blk}"):

@@ -202,21 +202,30 @@ def _chol_bwd_base(L, L_bar):
 
 
 #: Backward-pass tuning knobs (trace-time state, like _PREC): recursion
-#: cutoff for the blocked reverse rule, and whether the diagonal blocks of
+#: cutoff for the blocked reverse rule, whether the diagonal blocks of
 #: its backward TRSM are applied via explicit triangular inverses (GEMMs)
-#: or XLA's sequential TRSM.  `set_bwd_params` for perf probes / tuning.
+#: or XLA's sequential TRSM, and which reverse algorithm runs ('iter' =
+#: panel sweep with symmetric trailing gradient, 'rec' = recursive 2-way
+#: split).  `set_bwd_params` for perf probes / tuning.
 _BWD_BASE = 256
 _BWD_VIA_INV = True
+_BWD_MODE = "iter"
+_BWD_BLOCK = 1024
 
 
-def set_bwd_params(base=None, via_inv=None):
-    """Tune the custom-VJP backward (returns previous (base, via_inv))."""
-    global _BWD_BASE, _BWD_VIA_INV
-    prev = (_BWD_BASE, _BWD_VIA_INV)
+def set_bwd_params(base=None, via_inv=None, mode=None, block=None):
+    """Tune the custom-VJP backward (returns previous
+    (base, via_inv, mode, block))."""
+    global _BWD_BASE, _BWD_VIA_INV, _BWD_MODE, _BWD_BLOCK
+    prev = (_BWD_BASE, _BWD_VIA_INV, _BWD_MODE, _BWD_BLOCK)
     if base is not None:
         _BWD_BASE = base
     if via_inv is not None:
         _BWD_VIA_INV = via_inv
+    if mode is not None:
+        _BWD_MODE = mode
+    if block is not None:
+        _BWD_BLOCK = block
     return prev
 
 
@@ -260,12 +269,74 @@ def _chol_bwd_rec(L, L_bar, base):
     return jnp.concatenate([top, bot], axis=0)
 
 
+def _chol_bwd_iter(L, L_bar, block, base):
+    """Iterative panel-sweep reverse rule; returns the SYMMETRIC gradient.
+
+    Reverses the right-looking factorisation panel by panel, last to first,
+
+        L11 = chol(K11);   L21 = K21 L11⁻ᵀ;   K22 ← K22 − L21 L21ᵀ
+
+    maintaining `S` = symmetric gradient w.r.t. the current trailing Schur
+    complement.  Per panel the dominant op is ONE square×panel GEMM
+
+        L̄21 ← L̄21 − 2·S22 @ L21            (m×m @ m×B)
+
+    so the total multiply-add count is Σₖ mₖ²·B ≈ n³/3 — half the recursive
+    2-way split rule's ~2n³/3, with MXU-friendlier (square × B-panel) shapes.
+    The per-panel solve and the B×B base reverses are lower-order terms.
+    """
+    n = L.shape[-1]
+    B = (min(block, n) // 64) * 64
+    if B == 0 or n % B != 0 or n <= B:
+        K_raw = _chol_bwd_rec(L, L_bar, base)
+        return 0.5 * (K_raw + K_raw.T)
+    nb = n // B
+    # The trailing gradient is carried *functionally* as a growing dense
+    # block (assembled by concatenation), NOT written into a full-size
+    # buffer with dynamic_update_slice: in large fused graphs the XLA TPU
+    # compiler fails to alias those updates in place and copies the whole
+    # n×n buffer per write (~50 GB of HBM traffic at n=16k — measured 505 ms
+    # vs 291 ms end-to-end).  Concatenation copies only Σₖ mₖ² ≈ n³/3B
+    # elements total (~6 GB at n=16k, B=1024).
+    S_trail = None  # (m, m) symmetric gradient of the trailing Schur block
+    for kb in reversed(range(nb)):
+        c = kb * B
+        m = n - c - B  # trailing size below this panel
+        L11 = L[c : c + B, c : c + B]
+        Lb11 = L_bar[c : c + B, c : c + B]
+        if m > 0:
+            L21 = L[c + B :, c : c + B]
+            Lb21 = L_bar[c + B :, c : c + B]
+            # reverse of the Schur update K22 ← K22 − L21 L21ᵀ
+            Lb21_eff = Lb21 - 2.0 * _mm(S_trail, L21)
+            # reverse of L21 = K21 L11⁻ᵀ:  K̄21 = L̄21 L11⁻¹ (raw convention)
+            A21_bar = blocked_solve_upper_T(
+                L11, Lb21_eff.T, block=max(base, B // 4), via_inv=_BWD_VIA_INV
+            ).T
+            Lb11_eff = Lb11 - _mm(A21_bar.T, L21)
+        else:
+            Lb11_eff = Lb11
+        S11_raw = _chol_bwd_rec(L11, Lb11_eff, base)
+        S11 = 0.5 * (S11_raw + S11_raw.T)
+        if m > 0:
+            # symmetric convention halves the off-diagonal raw gradient
+            top = jnp.concatenate([S11, 0.5 * A21_bar.T], axis=1)
+            bot = jnp.concatenate([0.5 * A21_bar, S_trail], axis=1)
+            S_trail = jnp.concatenate([top, bot], axis=0)
+        else:
+            S_trail = S11
+    return S_trail
+
+
 def _blocked_cholesky_bwd(block, base, L, L_bar):
     """Blocked reverse rule; returns the symmetrised gradient (upstream K is
     symmetric, so only sym(K̄) matters — cholesky_psd symmetrises anyway)."""
     # the output's strict upper triangle is structurally zero: ignore any
     # cotangent that lands there
-    K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=max(base, _BWD_BASE))
+    eff_base = max(base, _BWD_BASE)
+    if _BWD_MODE == "iter":
+        return (_chol_bwd_iter(L, jnp.tril(L_bar), _BWD_BLOCK, eff_base),)
+    K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=eff_base)
     return (0.5 * (K_raw + K_raw.T),)
 
 

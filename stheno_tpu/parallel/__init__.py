@@ -31,6 +31,12 @@ from stheno_tpu.parallel.big import (
     sharded_matvec,
     big_gp_logpdf,
 )
+from stheno_tpu.parallel.ring import (
+    ring_matvec,
+    pcg_solve,
+    ring_gp_solve,
+    ring_posterior_mean_var,
+)
 
 __all__ = [
     "chains_mesh",
@@ -55,4 +61,8 @@ __all__ = [
     "sharded_kernelmatrix",
     "sharded_matvec",
     "big_gp_logpdf",
+    "ring_matvec",
+    "pcg_solve",
+    "ring_gp_solve",
+    "ring_posterior_mean_var",
 ]

@@ -115,8 +115,24 @@ def test_blocked_cholesky_custom_vjp_random_cotangent(rng):
     np.testing.assert_allclose(np.asarray(gb_s), np.asarray(gl_s), atol=1e-8)
 
 
-@pytest.mark.parametrize("bwd_base,via_inv", [(256, True), (512, True), (1024, True), (256, False), (512, False)])
-def test_blocked_cholesky_bwd_knob_configs(rng, bwd_base, via_inv):
+@pytest.mark.parametrize(
+    "bwd_base,via_inv,mode,bwd_block",
+    [
+        (256, True, "rec", 1024),
+        (512, True, "rec", 1024),
+        (1024, True, "rec", 1024),
+        (256, False, "rec", 1024),
+        (512, False, "rec", 1024),
+        # iterative symmetric panel sweep (n³/3 MACs), several panel widths
+        # incl. non-dividing (fallback) and full-size (single panel)
+        (256, True, "iter", 256),
+        (256, True, "iter", 512),
+        (256, False, "iter", 512),
+        (512, True, "iter", 448),
+        (256, True, "iter", 1024),
+    ],
+)
+def test_blocked_cholesky_bwd_knob_configs(rng, bwd_base, via_inv, mode, bwd_block):
     """Every `set_bwd_params` configuration (incl. the non-default ones that
     only perf probes used to exercise) must produce gradients matching lax
     autodiff (ADVICE.md round 1)."""
@@ -125,7 +141,7 @@ def test_blocked_cholesky_bwd_knob_configs(rng, bwd_base, via_inv):
     n = 1024
     K = _psd(rng, n)
     ct = jnp.asarray(rng.normal(size=(n, n)))
-    prev = bc.set_bwd_params(base=bwd_base, via_inv=via_inv)
+    prev = bc.set_bwd_params(base=bwd_base, via_inv=via_inv, mode=mode, block=bwd_block)
     try:
         _, vjp_b = jax.vjp(lambda A: blocked_cholesky(A, block=512, base=256), K)
         gb = vjp_b(ct)[0]
