@@ -342,6 +342,173 @@ def distributed_lower_matvec(mesh, L, v, axis_name="rows"):
     return fn(L, v)
 
 
+# --------------------------------------------------------------------------
+# Block-cyclic row layout (SURVEY.md §2.3 TP row: the cyclic distribution).
+#
+# The contiguous-slab factorisation above costs N³/(2P) MACs per device: as
+# the factorisation proceeds, low-rank devices' rows are finished but the
+# SPMD program still runs every device through the same full-slab GEMM.  A
+# *cyclic* distribution of B-row blocks (global block g owned by device
+# g mod P) keeps every device's active row count within one block of
+# (N−c)/P at every panel, cutting the per-device program to ~N³/(3P) MACs —
+# the floor for a row layout (a 2-D tile-cyclic layout would halve this
+# again by skipping the upper-triangle halves of the trailing rectangles,
+# but its rank-dependent tile sets cannot ride a single static-shape SPMD
+# program without masking the saving away; the row-cyclic point is the
+# TPU-idiomatic optimum).
+#
+# The panel loop stays statically unrolled: for panel k, the set of *local
+# block slots* strictly below the panel is [t_start(k), nbl) with
+# t_start(k) = ceil((k+2−P)/P) — static, identical on every device up to one
+# masked boundary block.  The gathered panel is mapped back to natural row
+# order by a static permutation (pure data movement, O(N·B) per panel).
+# --------------------------------------------------------------------------
+
+
+def _cyclic_perm(nb, p):
+    """Global block order that makes the cyclic layout contiguous per device:
+    device d's slots hold global blocks [d, d+P, d+2P, …]."""
+    import numpy as np
+
+    return np.arange(nb).reshape(-1, p).T.reshape(-1)  # [0, p, 2p, …, 1, …]
+
+
+def to_cyclic(mesh, K, block_size, axis_name="rows"):
+    """Re-shard a (contiguously) row-sharded (N, …) array into the
+    block-cyclic row layout (returned array is again row-sharded; GSPMD
+    lowers the static permutation to an all-to-all-class collective)."""
+    n = K.shape[0]
+    nb = n // block_size
+    perm = _cyclic_perm(nb, mesh.shape[axis_name])
+    spec = P(axis_name, *([None] * (K.ndim - 1)))
+    Kb = K.reshape((nb, block_size) + K.shape[1:])[perm]
+    return jax.lax.with_sharding_constraint(
+        Kb.reshape(K.shape), jax.sharding.NamedSharding(mesh, spec)
+    )
+
+
+def from_cyclic(mesh, K, block_size, axis_name="rows"):
+    """Inverse of `to_cyclic`."""
+    import numpy as np
+
+    n = K.shape[0]
+    nb = n // block_size
+    perm = _cyclic_perm(nb, mesh.shape[axis_name])
+    inv = np.argsort(perm)
+    spec = P(axis_name, *([None] * (K.ndim - 1)))
+    Kb = K.reshape((nb, block_size) + K.shape[1:])[inv]
+    return jax.lax.with_sharding_constraint(
+        Kb.reshape(K.shape), jax.sharding.NamedSharding(mesh, spec)
+    )
+
+
+def _chol_cyclic_loop(K_loc, block_size, axis_name, n_total, p):
+    """shard_map body: panel factorisation of the cyclic-layout local slab.
+
+    Local slot t on rank r holds global row block g = r + t·P."""
+    import numpy as np
+
+    rank = _axis_rank(axis_name)
+    n_loc = K_loc.shape[0]
+    dt = K_loc.dtype
+    B = block_size
+    nb = n_total // B
+    nbl = nb // p
+
+    # global row id of each local row (traced: depends on rank)
+    slots = jnp.arange(n_loc) // B
+    within = jnp.arange(n_loc) % B
+    g_rows = (rank + slots * p) * B + within  # (n_loc,)
+
+    for k in range(nb):
+        c = k * B
+        owner, s = k % p, k // p  # static
+
+        # -- diagonal block: owner's static slot, psum-broadcast ----------
+        contrib = K_loc[s * B : (s + 1) * B, c : c + B]
+        diag = lax.psum(
+            jnp.where(rank == owner, contrib, jnp.zeros((B, B), dt)),
+            axis_name,
+        )
+        L_kk = _chol.cholesky_psd(diag)
+
+        # owner writes L_kk into its diagonal rows
+        new_diag = jnp.where(rank == owner, L_kk, contrib)
+        K_loc = K_loc.at[s * B : (s + 1) * B, c : c + B].set(new_diag)
+
+        # -- active (strictly-below) local slots: static range ------------
+        t_start = max(0, -((-(k + 2 - p)) // p))  # ceil((k+2-p)/p), ≥ 0
+        if t_start >= nbl:
+            continue
+        rs = t_start * B
+        m_loc = n_loc - rs
+        below = (g_rows[rs:] >= c + B)[:, None]  # ≤ one masked boundary block
+
+        A_act = K_loc[rs:, c : c + B]  # (m_loc, B)
+        P_act = _chol.solve_lower(L_kk, A_act.T).T
+        new_act = jnp.where(below, P_act, jnp.zeros_like(P_act))
+        K_loc = K_loc.at[rs:, c : c + B].set(
+            jnp.where(below, new_act, A_act)
+        )
+
+        if c + B >= n_total:
+            continue
+
+        # -- gather the panel and restore natural row order ---------------
+        gathered = lax.all_gather(new_act, axis_name)  # (p, m_loc, B)
+        flat = gathered.reshape(p * m_loc, B)
+        # static permutation: trailing global row gr → gathered flat index
+        gr = np.arange(c + B, n_total)
+        g = gr // B
+        idx = (g % p) * m_loc + (g // p - t_start) * B + gr % B
+        trail = flat[jnp.asarray(idx)]  # (n_total - c - B, B)
+
+        # -- trailing update on active rows only --------------------------
+        update = _mm(new_act, trail.T)  # (m_loc, n_total - c - B)
+        K_loc = K_loc.at[rs:, c + B :].add(-update)
+
+    # zero the strict upper triangle (global coordinates)
+    cols = jnp.arange(n_total)
+    return jnp.where(cols[None, :] <= g_rows[:, None], K_loc, 0.0)
+
+
+def distributed_cholesky_cyclic(mesh, K, block_size=128, axis_name="rows"):
+    """Lower Cholesky factor of a PSD matrix whose rows are sharded over
+    `axis_name`, computed in a block-cyclic row layout for load balance
+    (~N³/(3P) MACs per device vs N³/(2P) for `distributed_cholesky`).
+
+    Takes and returns the standard contiguous row sharding; the cyclic
+    re-layout happens internally (two all-to-all-class reshards, O(N²/P)
+    words each — negligible next to the N² total panel-gather traffic).
+    """
+    n = K.shape[0]
+    p = mesh.shape[axis_name]
+    n_loc = _local_slab(n, p)
+    nb = n // block_size
+    if n % block_size != 0 or nb % p != 0:
+        raise ValueError(
+            f"N={n} needs block_size | N and P | (N/block_size) "
+            f"(got block_size={block_size}, P={p})"
+        )
+    del n_loc
+
+    Kc = to_cyclic(mesh, K, block_size, axis_name=axis_name)
+    fn = shard_map(
+        functools.partial(
+            _chol_cyclic_loop,
+            block_size=block_size,
+            axis_name=axis_name,
+            n_total=n,
+            p=p,
+        ),
+        mesh=mesh,
+        in_specs=P(axis_name, None),
+        out_specs=P(axis_name, None),
+    )
+    Lc = fn(Kc)
+    return from_cyclic(mesh, Lc, block_size, axis_name=axis_name)
+
+
 def distributed_mvn_logpdf(mesh, K, mean, y, block_size=128, axis_name="rows"):
     """log N(y; mean, K) with K rows sharded over `axis_name`.
 

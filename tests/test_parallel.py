@@ -344,3 +344,80 @@ def test_distributed_cholesky_flops_near_slab_floor(rng):
     macs = flops / 2.0  # XLA counts mul+add separately
     floor = n**3 / (2 * 8)
     assert macs < 1.25 * floor, f"per-device MACs {macs:.3g} vs floor {floor:.3g}"
+
+
+def test_distributed_cholesky_cyclic_matches_dense(rng):
+    """Block-cyclic row layout (SURVEY §2.3 TP): same factor, standard
+    contiguous sharding in/out."""
+    from stheno_tpu.parallel import distributed_cholesky_cyclic
+
+    mesh = rows_mesh(8)
+    n, B = 256, 16  # nb=16 blocks, 2 per device
+    K = _psd(rng, n)
+    K_sh = shard_rows(mesh, K)
+    L = jax.jit(
+        lambda K: distributed_cholesky_cyclic(mesh, K, block_size=B)
+    )(K_sh)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), atol=1e-8
+    )
+
+
+def test_distributed_cholesky_cyclic_nondividing_p(rng):
+    """P=4, nb=8 — multiple slots per device, and p=1 degenerate case."""
+    from stheno_tpu.parallel import distributed_cholesky_cyclic
+
+    mesh = rows_mesh(4)
+    n, B = 128, 16
+    K = _psd(rng, n)
+    L = jax.jit(
+        lambda K: distributed_cholesky_cyclic(mesh, K, block_size=B)
+    )(shard_rows(mesh, K))
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), atol=1e-8
+    )
+    mesh1 = rows_mesh(1)
+    L1 = distributed_cholesky_cyclic(mesh1, K, block_size=32)
+    np.testing.assert_allclose(
+        np.asarray(L1), np.linalg.cholesky(np.asarray(K)), atol=1e-8
+    )
+
+
+def test_distributed_cholesky_cyclic_grad(rng):
+    """FD gradient through the cyclic factorisation's collectives."""
+    from stheno_tpu.parallel import distributed_cholesky_cyclic
+
+    mesh = rows_mesh(4)
+    n, B = 64, 8
+    K = _psd(rng, n)
+
+    def f(s):
+        L = distributed_cholesky_cyclic(mesh, s * K, block_size=B)
+        return jnp.sum(L * jnp.cos(jnp.arange(n)[:, None] + jnp.arange(n)))
+
+    g = jax.grad(f)(1.0)
+    e = 1e-6
+    fd = (f(1.0 + e) - f(1.0 - e)) / (2 * e)
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-5)
+
+
+def test_distributed_cholesky_cyclic_flops_balanced(rng):
+    """The cyclic layout's per-device program must cost ~N³/(3P) MACs by the
+    XLA cost model — 1.5× below the contiguous-slab floor of N³/(2P)."""
+    from stheno_tpu.parallel import distributed_cholesky_cyclic
+    from stheno_tpu.utils.cost import cost_analysis
+
+    mesh = rows_mesh(8)
+    n, B = 256, 16
+    K = _psd(rng, n)
+    K_sh = shard_rows(mesh, K)
+    fn = jax.jit(
+        lambda K: distributed_cholesky_cyclic(mesh, K, block_size=B)
+    )
+    ca = cost_analysis(fn, K_sh)
+    flops = float(ca.get("flops", 0.0))
+    if flops <= 0:
+        pytest.skip("backend reports no cost analysis")
+    macs = flops / 2.0
+    floor = n**3 / (3 * 8)
+    assert macs < 1.45 * floor, f"per-device MACs {macs:.3g} vs N³/3P {floor:.3g}"
