@@ -311,6 +311,59 @@ def main():
             "base_chain_lax", make_chain(lax.linalg.cholesky))
         results["base_chain_pal"] = timed(
             "base_chain_pal", make_chain(chol_block_auto))
+    if want("trsm"):
+        # single-RHS triangular solve at N: XLA's sequential TRSM vs the
+        # blocked substitution (the logpdf alpha-solve + its VJP path).
+        from stheno_tpu.ops.blocked_cholesky import (
+            blocked_solve_lower, blocked_solve_upper_T)
+
+        @jax.jit
+        def make_L():
+            K = km_se(x_host) + 0.1 * jnp.eye(N, dtype=DT)
+            return bc._blocked_cholesky_impl(K, 1024, 256)
+
+        L_dev = make_L()
+        y_dev = jnp.sin(x_host)
+
+        def solve_probe(solver):
+            @jax.jit
+            def run(i):
+                yy = y_dev + i * 1e-7
+                x1 = solver(L_dev, yy)
+                return jnp.vdot(x1, x1)
+
+            return run
+
+        results["trsm_lax"] = timed(
+            "trsm_lax",
+            solve_probe(lambda L, b: lax.linalg.triangular_solve(
+                L, b[:, None], left_side=True, lower=True)[:, 0]))
+        results["trsm_blocked"] = timed(
+            "trsm_blocked",
+            solve_probe(lambda L, b: blocked_solve_lower(L, b, block=1024)))
+        # solve + VJP (the full logpdf quadratic-term chain)
+        def grad_solve_probe(solver):
+            @jax.jit
+            def run(i):
+                yy = y_dev + i * 1e-7
+
+                def q(L):
+                    a = solver(L, yy)
+                    return jnp.vdot(a, a)
+
+                v, g = jax.value_and_grad(q)(L_dev)
+                return v + jnp.vdot(g, g) * 1e-12
+
+            return run
+
+        results["trsm_lax_grad"] = timed(
+            "trsm_lax_grad",
+            grad_solve_probe(lambda L, b: lax.linalg.triangular_solve(
+                L, b[:, None], left_side=True, lower=True)[:, 0]))
+        results["trsm_blocked_grad"] = timed(
+            "trsm_blocked_grad",
+            grad_solve_probe(
+                lambda L, b: blocked_solve_lower(L, b, block=1024)))
     if want("km_xla"):
         results["km_xla"] = timed("km_xla", make_km_xla())
     if want("km_pal"):

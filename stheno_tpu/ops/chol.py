@@ -73,7 +73,23 @@ def cholesky_psd(K, jitter=None):
 
 
 def solve_lower(L, b, trans=False):
-    """Solve L x = b (or L^T x = b when trans) with L lower triangular."""
+    """Solve L x = b (or L^T x = b when trans) with L lower triangular.
+
+    Large single-matrix solves on TPU route through the *blocked*
+    substitution (ops.blocked_cholesky): XLA's built-in TRSM is a
+    sequential narrow-RHS sweep that leaves the chip idle at N ≳ 10⁴,
+    while the blocked version is N/B short TRSMs stitched by MXU GEMMs —
+    and being pure jnp, its autodiff VJP inherits the same structure
+    (the lax TRSM VJP re-issues sequential TRSMs)."""
+    if _use_blocked(L):
+        from stheno_tpu.ops.blocked_cholesky import (
+            blocked_solve_lower,
+            blocked_solve_upper_T,
+        )
+
+        if trans:
+            return blocked_solve_upper_T(L, b, block=1024)
+        return blocked_solve_lower(L, b, block=1024)
     b2 = b[..., None] if b.ndim == L.ndim - 1 else b
     out = lax.linalg.triangular_solve(
         L, b2, left_side=True, lower=True, transpose_a=trans

@@ -227,3 +227,31 @@ def test_blocked_lauum(rng):
     S = blocked_lauum(M, block=128)
     np.testing.assert_allclose(
         np.asarray(S), np.asarray(M.T @ M), atol=1e-12)
+
+
+def test_solve_lower_blocked_routing_parity(rng):
+    """With the blocked backend forced, ops.chol.solve_lower must match lax
+    for vector / multi-RHS and both transposes (the large-N TPU routing)."""
+    from stheno_tpu.ops import chol as c
+
+    n = 512
+    K = _psd(rng, n)
+    L = jnp.linalg.cholesky(K)
+    b1 = jnp.asarray(rng.normal(size=n))
+    b2 = jnp.asarray(rng.normal(size=(n, 3)))
+    prev = c.CHOL_BACKEND
+    c.CHOL_BACKEND = "blocked"
+    try:
+        for b in (b1, b2):
+            for trans in (False, True):
+                got = c.solve_lower(L, b, trans=trans)
+                b2d = b[:, None] if b.ndim == 1 else b
+                ref = jax.lax.linalg.triangular_solve(
+                    L, b2d, left_side=True, lower=True, transpose_a=trans
+                )
+                ref = ref[:, 0] if b.ndim == 1 else ref
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), atol=1e-9
+                )
+    finally:
+        c.CHOL_BACKEND = prev
