@@ -189,6 +189,152 @@ def ring_posterior_mean_var(
     return m, var, (it1, it2)
 
 
+def lanczos_tridiag(matvec, V0, m, reorth=True):
+    """Batched Lanczos tridiagonalisation: `V0` (N, P) unit-norm start
+    columns, `m` iterations (statically unrolled — m is small).
+
+    Returns (alphas (m, P), betas (m-1, P)).  With `reorth` every new
+    vector is re-orthogonalised against the stored basis (full
+    reorthogonalisation — the f32-stable choice; costs one extra
+    (k·N)×P GEMM pair per step).
+    """
+    v = V0
+    v_prev = jnp.zeros_like(V0)
+    beta_prev = jnp.zeros(V0.shape[1], V0.dtype)
+    alphas, betas, basis = [], [], [V0]
+    for k in range(m):
+        w = matvec(v) - beta_prev[None, :] * v_prev
+        a = jnp.sum(w * v, axis=0)
+        w = w - a[None, :] * v
+        if reorth:
+            Vb = jnp.stack(basis)  # (k+1, N, P)
+            proj = jnp.einsum("knp,np->kp", Vb, w)
+            w = w - jnp.einsum("knp,kp->np", Vb, proj)
+        alphas.append(a)
+        if k < m - 1:
+            b = jnp.sqrt(jnp.sum(w * w, axis=0))
+            betas.append(b)
+            v_prev, beta_prev = v, b
+            v = w / jnp.maximum(b, jnp.finfo(w.dtype).tiny)[None, :]
+            if reorth:
+                basis.append(v)
+    return jnp.stack(alphas), (
+        jnp.stack(betas) if betas else jnp.zeros((0, V0.shape[1]), V0.dtype)
+    )
+
+
+def slq_logdet(matvec, key, n, m=25, num_probes=16, dtype=jnp.float64):
+    """Stochastic Lanczos quadrature estimate of log det(A) for SPD `matvec`
+    (Ubaru/Chen/Saad 2017 — the standard scalable-GP logdet estimator).
+
+    Rademacher probes z (‖z‖² = n exactly), m-step Lanczos per probe, then
+    logdet ≈ (n/P)·Σᵢ Σⱼ (e₁ᵀuⱼ)² log λⱼ(Tᵢ).  Eigenvalues of T are clamped
+    below at tiny to keep f32 runs finite.
+    """
+    Z = jnp.where(
+        jax.random.bernoulli(key, 0.5, (n, num_probes)), 1.0, -1.0
+    ).astype(dtype)
+    V0 = Z / jnp.sqrt(jnp.asarray(n, dtype))
+    alphas, betas = lanczos_tridiag(matvec, V0, m)
+    # (P, m, m) tridiagonals → eigh (m is tiny)
+    T = jnp.zeros((num_probes, m, m), dtype)
+    T = T + jax.vmap(jnp.diag)(alphas.T)
+    if m > 1:
+        off = jax.vmap(lambda b: jnp.diag(b, 1))(betas.T)
+        T = T + off + jnp.swapaxes(off, -1, -2)
+    w, U = jnp.linalg.eigh(T)
+    w = jnp.maximum(w, jnp.finfo(dtype).tiny)
+    quad = jnp.sum(U[:, 0, :] ** 2 * jnp.log(w), axis=-1)  # e₁ weights
+    return jnp.asarray(n, dtype) * jnp.mean(quad), Z
+
+
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _ring_logpdf(mesh, axis_name, num_probes, m, tol, maxiter,
+                 kernel, x, y, noise, key):
+    val, _ = _ring_logpdf_fwd_impl(
+        mesh, axis_name, num_probes, m, tol, maxiter,
+        kernel, x, y, noise, key, need_w=False,
+    )
+    return val
+
+
+def _ring_logpdf_fwd_impl(mesh, axis_name, num_probes, m, tol, maxiter,
+                          kernel, x, y, noise, key, need_w):
+    n = x.shape[0]
+    dt = y.dtype
+
+    def mv(V):
+        return ring_matvec(mesh, kernel, x, V, noise=noise,
+                           axis_name=axis_name)
+
+    alpha, _ = ring_gp_solve(mesh, kernel, x, y, noise, tol=tol,
+                             maxiter=maxiter, axis_name=axis_name)
+    logdet, Z = slq_logdet(mv, key, n, m=m, num_probes=num_probes, dtype=dt)
+    val = -0.5 * (
+        n * jnp.log(jnp.asarray(2.0 * jnp.pi, dt))
+        + logdet
+        + jnp.vdot(y, alpha)
+    )
+    W = None
+    if need_w:
+        W, _ = ring_gp_solve(mesh, kernel, x, Z, noise, tol=tol,
+                             maxiter=maxiter, axis_name=axis_name)
+    return val, (alpha, Z, W)
+
+
+def _ring_logpdf_fwd(mesh, axis_name, num_probes, m, tol, maxiter,
+                     kernel, x, y, noise, key):
+    val, (alpha, Z, W) = _ring_logpdf_fwd_impl(
+        mesh, axis_name, num_probes, m, tol, maxiter,
+        kernel, x, y, noise, key, need_w=True,
+    )
+    return val, (kernel, x, noise, key, alpha, Z, W)
+
+
+def _ring_logpdf_bwd(mesh, axis_name, num_probes, m, tol, maxiter, res, g):
+    kernel, x, noise, key, alpha, Z, W = res
+
+    # d logpdf = ½ αᵀ(dK̂)α − ½ tr(K̂⁻¹ dK̂); Hutchinson for the trace with
+    # the SLQ probes: tr(K̂⁻¹ dK̂) ≈ (1/P) Σᵢ wᵢᵀ (dK̂) zᵢ, wᵢ = K̂⁻¹zᵢ.
+    # The surrogate below has exactly that gradient at frozen α, W, Z.
+    def surrogate(kernel, x, noise):
+        Ka = ring_matvec(mesh, kernel, x, alpha, noise=noise,
+                         axis_name=axis_name)
+        KZ = ring_matvec(mesh, kernel, x, Z, noise=noise,
+                         axis_name=axis_name)
+        return 0.5 * jnp.vdot(alpha, Ka) - (0.5 / num_probes) * jnp.sum(
+            W * KZ
+        )
+
+    _, vjp = jax.vjp(surrogate, kernel, x, noise)
+    gk, gx, gn = vjp(g)
+    gy = -g * alpha
+    return gk, gx, gy, gn, jnp.zeros_like(key)
+
+
+_ring_logpdf.defvjp(_ring_logpdf_fwd, _ring_logpdf_bwd)
+
+
+def ring_gp_logpdf(mesh, kernel, x, y, noise, key, num_probes=16,
+                   lanczos_iters=25, tol=1e-10, maxiter=1000,
+                   axis_name="rows"):
+    """Stochastic exact-GP log-marginal-likelihood, matrix-free at ring
+    scale: quadratic term by CG (machine-precision), logdet by stochastic
+    Lanczos quadrature, gradients by the Hutchinson trace estimator reusing
+    the SLQ probes (the GPyTorch/BBMM estimator — Gardner et al. 2018 —
+    restructured onto the ppermute ring).
+
+    Differentiable w.r.t. kernel hyperparameters, `x`, `y`, `noise` via a
+    custom VJP (two ring matvecs per backward — no factorisation anywhere).
+    `key` controls the probes: fixed key → deterministic estimate.
+    """
+    return _ring_logpdf(mesh, axis_name, num_probes, lanczos_iters, tol,
+                        maxiter, kernel, x, y, noise, key)
+
+
 def _cross_slab(mesh, kernel, x, xs, axis_name):
     """K(x, xs) as a row-sharded (N, Np) slab (xs replicated)."""
 

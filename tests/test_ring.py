@@ -130,3 +130,74 @@ def test_ring_gp_solve_grad_through_collectives(rng):
 
     g_ref = jax.grad(qform_dense)(0.9)
     np.testing.assert_allclose(float(g), float(g_ref), rtol=1e-9)
+
+
+def test_slq_logdet_dense_oracle(rng, key):
+    """SLQ logdet against the dense logdet (f64, full-reorth Lanczos)."""
+    from stheno_tpu.parallel.ring import slq_logdet
+
+    n = 256
+    k = _kernel()
+    x, _ = _data(rng, n)
+    K = k.matrix(x, x) + 0.3 * jnp.eye(n, dtype=x.dtype)
+    est, _ = slq_logdet(lambda V: K @ V, key, n, m=30, num_probes=32)
+    ref = 2.0 * jnp.sum(jnp.log(jnp.diag(jnp.linalg.cholesky(K))))
+    # SLQ is a statistical estimator; SE spectra decay fast so m=30 probes=32
+    # lands well within a few percent of |logdet|
+    assert abs(float(est) - float(ref)) < 0.03 * abs(float(ref)) + 1.0
+
+
+def test_ring_gp_logpdf_matches_dense(rng, key):
+    from stheno_tpu.parallel.ring import ring_gp_logpdf
+    from stheno_tpu.graph import GPC
+
+    mesh = rows_mesh(8)
+    n, noise = 256, 0.2
+    k = _kernel()
+    x, y = _data(rng, n)
+    val = jax.jit(
+        lambda xx, yy: ring_gp_logpdf(
+            mesh, k, xx, yy, noise, key, num_probes=32, lanczos_iters=30
+        )
+    )(shard_rows(mesh, x), shard_rows(mesh, y))
+    f = st.GP(k, gpc=GPC())
+    ref = st.logpdf(f(x, noise), y)
+    assert abs(float(val) - float(ref)) < 0.02 * abs(float(ref)) + 1.0
+
+
+def test_ring_gp_logpdf_grad_vs_dense(rng, key):
+    """Hutchinson/SLQ stochastic gradient vs the dense exact gradient."""
+    from stheno_tpu.parallel.ring import ring_gp_logpdf
+    from stheno_tpu.graph import GPC
+
+    mesh = rows_mesh(2)  # 2 ring steps: keeps the unrolled graph small
+    n = 96
+    x, y = _data(rng, n)
+    x_sh, y_sh = shard_rows(mesh, x), shard_rows(mesh, y)
+
+    def stoch(params):
+        k = params["v"] * st.with_lengthscale(st.SEKernel(), params["l"])
+        return ring_gp_logpdf(
+            mesh, k, x_sh, y_sh, params["noise"], key,
+            num_probes=48, lanczos_iters=20,
+        )
+
+    def dense(params):
+        k = params["v"] * st.with_lengthscale(st.SEKernel(), params["l"])
+        f = st.GP(k, gpc=GPC())
+        return st.logpdf(f(x, params["noise"]), y)
+
+    p0 = dict(v=jnp.asarray(1.7), l=jnp.asarray(0.9), noise=jnp.asarray(0.2))
+    gs = jax.grad(stoch)(p0)
+    gd = jax.grad(dense)(p0)
+    for name in p0:
+        s, d = float(gs[name]), float(gd[name])
+        assert abs(s - d) <= 0.15 * abs(d) + 0.6, (name, s, d)
+    # y-gradient is exact (−α), not stochastic
+    gy = jax.grad(lambda yy: ring_gp_logpdf(
+        mesh, _kernel(), x_sh, yy, 0.2, key, num_probes=8, lanczos_iters=10
+    ))(y_sh)
+    K = _kernel().matrix(x, x) + 0.2 * jnp.eye(n, dtype=x.dtype)
+    np.testing.assert_allclose(
+        np.asarray(gy), np.asarray(-jnp.linalg.solve(K, y)), atol=1e-6
+    )
