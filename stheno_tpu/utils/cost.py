@@ -30,11 +30,19 @@ def cost_summary(fn, *args, peak_flops=None, hbm_bw=None, name="entry",
                  file=sys.stderr, **kwargs):
     """Print a one-line roofline summary for a jitted entry point:
 
-        [cost] logpdf-16k flops=2.93e+12 bytes=4.3e+09 intensity=682 compute-bound ≥ 59.80 ms
+        [cost] logpdf-16k flops=2.93e+12 bytes=4.3e+09 intensity=682 model-compute-bound 59.80 ms
 
     `peak_flops` (FLOP/s) and `hbm_bw` (B/s) are optional chip parameters;
     with both given the bound is max(flops/peak, bytes/bw).  Returns the
-    raw cost dict."""
+    raw cost dict.
+
+    Caveat (measured, BASELINE.md round 2): XLA's analytical byte count
+    charges every slice/update with full operand bytes and ignores fusion
+    and in-place aliasing — unrolled blocked algorithms "move" 10-20× their
+    real HBM traffic by this model (the blocked Cholesky forward shows
+    21.5 GB at N=8192 yet measures compute-bound at the MXU peak on TPU).
+    Use the FLOP figure and A/B ratios; treat a "memory-bound" verdict here
+    as an upper bound on bytes, not a floor on time."""
     ca = cost_analysis(fn, *args, **kwargs)
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", 0.0))
@@ -45,7 +53,8 @@ def cost_summary(fn, *args, peak_flops=None, hbm_bw=None, name="entry",
     if peak_flops and hbm_bw and (flops or byts):
         t = max(flops / peak_flops, byts / hbm_bw)
         kind = "compute" if flops / peak_flops >= byts / hbm_bw else "memory"
-        bound = f"{kind}-bound ≥ {t * 1e3:.2f} ms"
+        # 'model-' prefix: the byte side overcounts (see docstring caveat)
+        bound = f"model-{kind}-bound {t * 1e3:.2f} ms"
         parts.append(bound)
     print(f"[cost] {name}  " + "  ".join(parts), file=file, flush=True)
     return ca
