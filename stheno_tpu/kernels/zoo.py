@@ -249,3 +249,94 @@ class PolynomialKernel(Kernel):
 
     def diag(self, x, y):
         return (pairwise.dot_diag(x, y) + self.c) ** self.degree
+
+
+@pytree_dataclass
+class ExponentiatedKernel(Kernel):
+    """k(x, y) = exp(<x, y>)  (KernelFunctions.jl ExponentiatedKernel)."""
+
+    def matrix(self, x, y):
+        return jnp.exp(pairwise.pairwise_dot(x, y))
+
+    def diag(self, x, y):
+        return jnp.exp(pairwise.dot_diag(x, y))
+
+
+@pytree_dataclass
+class WienerKernel(Kernel):
+    """Brownian-motion kernel k(x, y) = min(x, y) on scalar inputs ≥ 0
+    (KernelFunctions.jl WienerKernel i=0).  Nonstationary — exercises the
+    conformance suite's PSD/diag checks off the stationary fast path."""
+
+    def _vals(self, x):
+        return pairwise.ensure_2d(x)[:, 0]
+
+    def matrix(self, x, y):
+        xv, yv = self._vals(x), self._vals(y)
+        return jnp.minimum(xv[:, None], yv[None, :])
+
+    def diag(self, x, y):
+        return jnp.minimum(self._vals(x), self._vals(y))
+
+
+@pytree_dataclass
+class FBMKernel(Kernel):
+    """Fractional Brownian motion with Hurst index h ∈ (0, 1):
+
+        k(x, y) = ½ (‖x‖²ʰ + ‖y‖²ʰ − ‖x−y‖²ʰ)
+
+    (KernelFunctions.jl FBMKernel; h = 0.5 recovers Wiener on R₊)."""
+
+    h: jnp.ndarray = 0.5
+
+    def _pow(self, sq):
+        # |·|^{2h} from the squared quantity, with a zero-safe gradient
+        eps = jnp.finfo(sq.dtype).eps ** 2
+        return jnp.where(sq > 0, jnp.maximum(sq, eps) ** self.h, 0.0)
+
+    def matrix(self, x, y):
+        x2 = pairwise.dot_diag(x, x)
+        y2 = pairwise.dot_diag(y, y)
+        d2 = pairwise.pairwise_sqdist(x, y)
+        return 0.5 * (
+            self._pow(x2)[:, None] + self._pow(y2)[None, :] - self._pow(d2)
+        )
+
+    def diag(self, x, y):
+        x2 = pairwise.dot_diag(x, x)
+        y2 = pairwise.dot_diag(y, y)
+        d2 = pairwise.sqdist_diag(x, y)
+        return 0.5 * (self._pow(x2) + self._pow(y2) - self._pow(d2))
+
+    def matrix_same(self, x):
+        x2 = pairwise.dot_diag(x, x)
+        d2 = pairwise.pairwise_sqdist(x, x)
+        n = d2.shape[0]
+        d2 = d2 * (1.0 - jnp.eye(n, dtype=d2.dtype))  # exact zero diagonal
+        p = self._pow(x2)
+        return 0.5 * (p[:, None] + p[None, :] - self._pow(d2))
+
+    def diag_same(self, x):
+        return self._pow(pairwise.dot_diag(x, x))
+
+
+@pytree_dataclass
+class NeuralNetworkKernel(Kernel):
+    """Neural-network (arcsine) kernel, Williams (1998):
+
+        k(x, y) = asin( <x, y> / √((1 + ‖x‖²)(1 + ‖y‖²)) )
+
+    (KernelFunctions.jl NeuralNetworkKernel)."""
+
+    def matrix(self, x, y):
+        dot = pairwise.pairwise_dot(x, y)
+        nx = 1.0 + pairwise.dot_diag(x, x)
+        ny = 1.0 + pairwise.dot_diag(y, y)
+        a = dot / jnp.sqrt(nx[:, None] * ny[None, :])
+        return jnp.arcsin(jnp.clip(a, -1.0, 1.0))
+
+    def diag(self, x, y):
+        dot = pairwise.dot_diag(x, y)
+        nx = 1.0 + pairwise.dot_diag(x, x)
+        ny = 1.0 + pairwise.dot_diag(y, y)
+        return jnp.arcsin(jnp.clip(dot / jnp.sqrt(nx * ny), -1.0, 1.0))

@@ -50,6 +50,23 @@ ORACLES = [
         st.PeriodicKernel(r=jnp.asarray(0.9)),
         lambda a, b: np.exp(-0.5 * np.sum((np.sin(np.pi * (a - b)) / 0.9) ** 2)),
     ),
+    (st.ExponentiatedKernel(), lambda a, b: np.exp(np.dot(a, b))),
+    (
+        st.FBMKernel(h=jnp.asarray(0.4)),
+        lambda a, b: 0.5
+        * (
+            np.sum(a**2) ** 0.4
+            + np.sum(b**2) ** 0.4
+            - np.sum((a - b) ** 2) ** 0.4
+        ),
+    ),
+    (
+        st.NeuralNetworkKernel(),
+        lambda a, b: np.arcsin(
+            np.dot(a, b)
+            / np.sqrt((1 + np.sum(a**2)) * (1 + np.sum(b**2)))
+        ),
+    ),
 ]
 
 
@@ -127,3 +144,36 @@ def test_dtype_stability(rng):
     assert K.dtype == jnp.float32
     x64 = jnp.asarray(rng.normal(size=5), dtype=jnp.float64)
     assert kernelmatrix(st.Matern52Kernel(), x64).dtype == jnp.float64
+
+
+def test_wiener_kernel(rng):
+    """min(x,y) Brownian kernel on R₊ — Gram oracle, PSD, diag path."""
+    x = jnp.asarray(np.sort(rng.uniform(0.1, 4.0, 7)))
+    K = kernelmatrix(st.WienerKernel(), x)
+    np.testing.assert_allclose(
+        K, np.minimum(np.asarray(x)[:, None], np.asarray(x)[None, :]), atol=0
+    )
+    assert np.linalg.eigvalsh(np.asarray(K)).min() > -1e-12
+    np.testing.assert_allclose(
+        kernelmatrix_diag(st.WienerKernel(), x), np.asarray(x), atol=0
+    )
+
+
+@pytest.mark.parametrize(
+    "k",
+    [st.ExponentiatedKernel(), st.FBMKernel(h=jnp.asarray(0.7)),
+     st.NeuralNetworkKernel()],
+    ids=lambda k: type(k).__name__,
+)
+def test_new_kernels_psd_and_gp_roundtrip(rng, k):
+    """Gram PSD-ness and usability inside a GP programme (logpdf finite)."""
+    import jax
+
+    x = jnp.asarray(rng.normal(size=9))
+    K = kernelmatrix(k, x)
+    assert np.linalg.eigvalsh(np.asarray(K)).min() > -1e-9
+    from stheno_tpu.graph import GPC
+
+    f = st.GP(k, gpc=GPC())
+    lp = st.logpdf(f(x, 0.3), jnp.asarray(rng.normal(size=9)))
+    assert bool(jnp.isfinite(lp))
