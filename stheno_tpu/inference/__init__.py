@@ -20,6 +20,14 @@ from stheno_tpu.inference.checkpoint import (
     checkpoint_step,
 )
 from stheno_tpu.inference.vi import fit, fit_lbfgs, FitResult
+from stheno_tpu.inference.svgp import (
+    SVGP,
+    svgp_init,
+    svgp_elbo,
+    svgp_posterior,
+    svgp_optimal_gaussian,
+    SVGPPosteriorGP,
+)
 from stheno_tpu.inference.smc import run_smc, SMCResult
 from stheno_tpu.inference.diagnostics import (
     effective_sample_size,
@@ -35,6 +43,12 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "checkpoint_step",
+    "SVGP",
+    "svgp_init",
+    "svgp_elbo",
+    "svgp_posterior",
+    "svgp_optimal_gaussian",
+    "SVGPPosteriorGP",
     "fit",
     "fit_lbfgs",
     "FitResult",
