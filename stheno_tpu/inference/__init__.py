@@ -28,6 +28,18 @@ from stheno_tpu.inference.svgp import (
     svgp_optimal_gaussian,
     SVGPPosteriorGP,
 )
+from stheno_tpu.inference.likelihoods import (
+    Likelihood,
+    GaussianLikelihood,
+    BernoulliLikelihood,
+    PoissonLikelihood,
+    StudentTLikelihood,
+)
+from stheno_tpu.inference.laplace import (
+    laplace,
+    LaplaceResult,
+    LaplacePosteriorGP,
+)
 from stheno_tpu.inference.smc import run_smc, SMCResult
 from stheno_tpu.inference.diagnostics import (
     effective_sample_size,
@@ -52,6 +64,14 @@ __all__ = [
     "fit",
     "fit_lbfgs",
     "FitResult",
+    "Likelihood",
+    "GaussianLikelihood",
+    "BernoulliLikelihood",
+    "PoissonLikelihood",
+    "StudentTLikelihood",
+    "laplace",
+    "LaplaceResult",
+    "LaplacePosteriorGP",
     "run_smc",
     "SMCResult",
     "effective_sample_size",

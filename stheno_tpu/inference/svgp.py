@@ -72,22 +72,34 @@ def _q_marginals(svgp: SVGP, Luu, q_sqrt, f, x):
     return mu, var
 
 
-def svgp_elbo(svgp: SVGP, fx: FiniteGP, y, scale=1.0):
-    """Minibatch ELBO: scale·Σᵢ E_q[log N(yᵢ | fᵢ, sᵢ)] − KL(q(ε) ‖ N(0,I)).
+def svgp_elbo(svgp: SVGP, fx: FiniteGP, y, scale=1.0, likelihood=None):
+    """Minibatch ELBO: scale·Σᵢ E_q[log p(yᵢ | fᵢ)] − KL(q(ε) ‖ N(0,I)).
 
     `fx`/`y` are the minibatch; `scale` = N_total / |batch| makes the
-    data term an unbiased estimate of the full sum.  Gaussian (diagonal)
-    observation noise, matching the reference's VFE scope."""
-    if not isinstance(fx.noise, DiagNoise):
-        raise TypeError("svgp_elbo requires diagonal observation noise")
+    data term an unbiased estimate of the full sum.
+
+    With `likelihood=None` the observation model is Gaussian with `fx`'s
+    (diagonal) noise, matching the reference's VFE scope.  Passing any
+    `inference.likelihoods.Likelihood` (Bernoulli, Poisson, Student-t, …)
+    makes this the non-conjugate SVGP of Hensman et al. 2015 — `fx` should
+    then carry only jitter, and the data term is the likelihood's
+    (quadrature or closed-form) variational expectation."""
     Luu, q_sqrt = _svgp_factors(svgp)
     mu, var = _q_marginals(svgp, Luu, q_sqrt, fx.f, fx.x)
     y = jnp.asarray(y)
-    s = fx.noise.diag(len(fx))
-    two_pi = jnp.asarray(2.0 * jnp.pi, dtype=mu.dtype)
-    ell = jnp.sum(
-        -0.5 * (jnp.log(two_pi * s) + (y - mu) ** 2 / s + var / s)
-    )
+    if likelihood is not None:
+        ell = likelihood.variational_expectation(mu, var, y)
+    else:
+        if not isinstance(fx.noise, DiagNoise):
+            raise TypeError(
+                "svgp_elbo requires diagonal observation noise "
+                "(or pass an explicit likelihood=)"
+            )
+        s = fx.noise.diag(len(fx))
+        two_pi = jnp.asarray(2.0 * jnp.pi, dtype=mu.dtype)
+        ell = jnp.sum(
+            -0.5 * (jnp.log(two_pi * s) + (y - mu) ** 2 / s + var / s)
+        )
     m = svgp.q_mu.shape[0]
     dq = jnp.diagonal(q_sqrt)
     kl = 0.5 * (

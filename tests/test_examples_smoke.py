@@ -41,3 +41,12 @@ def test_naive_linear_mixing_example(monkeypatch):
 def test_time_varying_blr_example(monkeypatch):
     monkeypatch.setattr(sys, "argv", ["time_varying_blr.py", "--platform", "cpu"])
     runpy.run_path("examples/time_varying_blr.py", run_name="__main__")
+
+
+def test_non_gaussian_likelihoods_example(monkeypatch, capsys):
+    monkeypatch.setattr(
+        sys, "argv", ["non_gaussian_likelihoods.py", "--platform", "cpu"]
+    )
+    runpy.run_path("examples/non_gaussian_likelihoods.py", run_name="__main__")
+    out = capsys.readouterr().out
+    assert "OK" in out
