@@ -73,6 +73,11 @@ from stheno_tpu.finite_gp import (
     ApproxPosteriorGP,
     SparseFiniteGP,
 )
+from stheno_tpu.sampling import (
+    spectral_features,
+    prior_samples,
+    pathwise_conditioned_samples,
+)
 
 __version__ = "0.1.0"
 
@@ -105,6 +110,9 @@ __all__ = list(_kernels_all) + [
     "WrappedGP",
     "ParamFn",
     "StaticFn",
+    "spectral_features",
+    "prior_samples",
+    "pathwise_conditioned_samples",
     "Stretch",
     "Select",
     "Periodic",
