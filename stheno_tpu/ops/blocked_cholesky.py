@@ -371,7 +371,7 @@ def blocked_lauum(M, block=1024):
     return SU + SU.T + D
 
 
-def blocked_solve_lower(L, b, block=1024):
+def _blocked_solve_lower_impl(L, b, block=1024):
     """Solve L x = b (b: (N,) or (N, K)) by blocked forward substitution;
     the off-diagonal applications are GEMMs."""
     n = L.shape[-1]
@@ -397,7 +397,7 @@ def blocked_solve_lower(L, b, block=1024):
     return x[:, 0] if vec else x
 
 
-def blocked_solve_upper_T(L, b, block=1024, via_inv=False):
+def _blocked_solve_upper_T_impl(L, b, block=1024, via_inv=False):
     """Solve Lᵀ x = b by blocked backward substitution (L lower).
 
     `via_inv=True` applies each B×B diagonal block as a GEMM against its
@@ -433,3 +433,76 @@ def blocked_solve_upper_T(L, b, block=1024, via_inv=False):
             )
         x = lax.dynamic_update_slice(x, xk, (c, 0))
     return x[:, 0] if vec else x
+
+
+# ---------------------------------------------------------------------------
+# Closed-form triangular-solve adjoints
+# ---------------------------------------------------------------------------
+# Autodiff through the blocked substitution loops is catastrophically
+# memory-bound: every one of the N/B iterations accumulates cotangents into
+# full N×N dynamic_update_slice buffers (~2 GB of HBM traffic each at
+# N=16k).  The mathematical adjoint of a triangular solve is just one more
+# (transposed) solve plus a rank-K outer product:
+#
+#   x = L⁻¹ b:    b̄ = L⁻ᵀ ḡ,  L̄ = −tril(b̄ xᵀ)
+#   x = L⁻ᵀ b:    b̄ = L⁻¹ ḡ,  L̄ = −tril(x b̄ᵀ)
+#
+# so the backward costs the same O(N²·K) as the forward.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bsl_vjp(L, b, block):
+    return _blocked_solve_lower_impl(L, b, block)
+
+
+def _bsl_fwd(L, b, block):
+    x = _blocked_solve_lower_impl(L, b, block)
+    return x, (L, x)
+
+
+def _bsl_bwd(block, res, g):
+    L, x = res
+    bbar = _blocked_solve_upper_T_impl(L, g, block)
+    if x.ndim == 1:
+        Lbar = -jnp.tril(jnp.outer(bbar, x))
+    else:
+        Lbar = -jnp.tril(_mm(bbar, x.T))
+    return (Lbar, bbar)
+
+
+_bsl_vjp.defvjp(_bsl_fwd, _bsl_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _bsut_vjp(L, b, block, via_inv):
+    return _blocked_solve_upper_T_impl(L, b, block, via_inv)
+
+
+def _bsut_fwd(L, b, block, via_inv):
+    x = _blocked_solve_upper_T_impl(L, b, block, via_inv)
+    return x, (L, x)
+
+
+def _bsut_bwd(block, via_inv, res, g):
+    L, x = res
+    bbar = _blocked_solve_lower_impl(L, g, block)
+    if x.ndim == 1:
+        Lbar = -jnp.tril(jnp.outer(x, bbar))
+    else:
+        Lbar = -jnp.tril(_mm(x, bbar.T))
+    return (Lbar, bbar)
+
+
+_bsut_vjp.defvjp(_bsut_fwd, _bsut_bwd)
+
+
+def blocked_solve_lower(L, b, block=1024):
+    """Solve L x = b (blocked forward substitution) with the closed-form
+    O(N²) adjoint above."""
+    return _bsl_vjp(L, b, block)
+
+
+def blocked_solve_upper_T(L, b, block=1024, via_inv=False):
+    """Solve Lᵀ x = b (blocked backward substitution, L lower) with the
+    closed-form O(N²) adjoint above."""
+    return _bsut_vjp(L, b, block, via_inv)
