@@ -6,7 +6,10 @@ through the collectives.
 Runs on the 8-virtual-device CPU mesh by default so it can be validated
 anywhere; on a real pod slice the same code spans chips over ICI.
 
-Run: python examples/big_n_sharded.py
+Run: python examples/big_n_sharded.py [--n 32768]
+(`--n` sets the sharded-GPPP section's N; the default 4096 keeps the CPU
+mesh fast — 32k exercises the VERDICT-scale run and takes tens of minutes
+on 2 CPU cores, minutes on a real slice.)
 """
 
 import os
@@ -97,15 +100,24 @@ def main():
         return dict(f1=f1, f2=f2, f3=f1 + f2)
 
     theta = dict(v=jnp.asarray(1.5), l=jnp.asarray(1.0))
-    Ng = 4096  # big-N for the sharded run (32k+ works identically; kept
-    # moderate so the example stays fast on the CPU mesh)
+    # big-N for the sharded run; default moderate so the example stays fast
+    # on the CPU mesh — pass --n 32768 for the full-scale demonstration
+    Ng = (
+        int(sys.argv[sys.argv.index("--n") + 1])
+        if "--n" in sys.argv
+        else 4096
+    )
     xg = jnp.linspace(-10.0, 10.0, Ng)
     xp = jnp.linspace(-8.0, 8.0, 256)
+    # panel width: the distributed factorisation unrolls N/Bg panels at
+    # trace time, so keep the count ≤ ~32 as N grows (same rule as the
+    # single-chip blocked Cholesky)
+    Bg = max(B, Ng // 32)
 
     @jax.jit
     def sample_prior(key):
         return sharded_rand(key, mesh, build(theta)(GPPPInput("f3", xg), 0.1),
-                            block_size=B)
+                            block_size=Bg)
 
     yg = sample_prior(jax.random.PRNGKey(1))
 
@@ -113,8 +125,8 @@ def main():
     def fit_and_predict(theta, yg):
         fth = build(theta)
         fx = fth(GPPPInput("f3", xg), 0.1)
-        lp = sharded_logpdf(mesh, fx, yg, block_size=B)
-        post = sharded_posterior(mesh, fx, yg, block_size=B)
+        lp = sharded_logpdf(mesh, fx, yg, block_size=Bg)
+        post = sharded_posterior(mesh, fx, yg, block_size=Bg)
         m1, v1 = post.mean_and_var(GPPPInput("f1", xp))
         return lp, m1, v1
 

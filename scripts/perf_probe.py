@@ -364,6 +364,62 @@ def main():
             "trsm_blocked_grad",
             grad_solve_probe(
                 lambda L, b: blocked_solve_lower(L, b, block=1024)))
+    if want("bench_kgrad") or want("bench_hgrad") or want("logpdf_fwd"):
+        # decompose the full bench.py pipeline (composite f3 = f1 + f2,
+        # SE + Matern32, logpdf+grad):
+        #   logpdf_fwd   — forward only (km + assembly + chol + solve)
+        #   bench_kgrad  — value_and_grad stopping at the assembled K
+        #                  (adds: solve-adjoint + chol backward)
+        #   bench_hgrad  — value_and_grad w.r.t. the 4 hyperparameters
+        #                  (adds: kernel-matrix backward passes) ≈ bench.py
+        from stheno_tpu.ops import chol as C
+
+        y_b = jnp.sin(x_host) + jnp.asarray(0.2, DT) * jnp.cos(7 * x_host)
+
+        def km_m32(x, l=0.5):
+            d = jnp.abs(x[:, None] - x[None, :]) / l
+            d3 = jnp.sqrt(jnp.asarray(3.0, DT)) * d
+            return (1.0 + d3) * jnp.exp(-d3)
+
+        def assemble(x, v1, l1, l2, noise):
+            d = x[:, None] - x[None, :]
+            K1 = v1 * jnp.exp(-0.5 * (d / l1) ** 2)
+            return K1 + km_m32(x, l2) + noise * jnp.eye(N, dtype=DT)
+
+        def logpdf_of(K):
+            L = C.cholesky_psd(K)
+            return C.mvn_logpdf_chol(y_b, jnp.zeros_like(y_b), L)
+
+        if want("logpdf_fwd"):
+            @jax.jit
+            def fwd_run(i):
+                xx = x_host + i * 1e-7
+                return logpdf_of(assemble(xx, 1.5, 1.0, 0.5, 0.1))
+
+            results["logpdf_fwd"] = timed("logpdf_fwd", fwd_run)
+        if want("bench_kgrad"):
+            @jax.jit
+            def kgrad_run(i):
+                xx = x_host + i * 1e-7
+                K = assemble(xx, 1.5, 1.0, 0.5, 0.1)
+                v, g = jax.value_and_grad(logpdf_of)(K)
+                return v + jnp.vdot(g, g) * 1e-12
+
+            results["bench_kgrad"] = timed("bench_kgrad", kgrad_run)
+        if want("bench_hgrad"):
+            @jax.jit
+            def hgrad_run(i):
+                xx = x_host + i * 1e-7
+
+                def f(th):
+                    return logpdf_of(assemble(xx, *th))
+
+                v, g = jax.value_and_grad(f)((
+                    jnp.asarray(1.5, DT), jnp.asarray(1.0, DT),
+                    jnp.asarray(0.5, DT), jnp.asarray(0.1, DT)))
+                return v + g[1] * 1e-9
+
+            results["bench_hgrad"] = timed("bench_hgrad", hgrad_run)
     if want("km_xla"):
         results["km_xla"] = timed("km_xla", make_km_xla())
     if want("km_pal"):
