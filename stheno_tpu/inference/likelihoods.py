@@ -70,7 +70,12 @@ class Likelihood:
         """E_{N(mu, var)}[g(f)] elementwise via Gauss–Hermite (static Q)."""
         mu = jnp.asarray(mu)
         t, w = _gh_nodes(self.n_gh, mu.dtype)
-        f = mu[..., None] + jnp.sqrt(2.0 * var)[..., None] * t  # (..., Q)
+        # SVGP marginal variances are computed by subtraction and can go
+        # slightly negative from f32 cancellation — clamp, or one entry
+        # NaNs the whole quadrature sum.
+        f = mu[..., None] + jnp.sqrt(
+            2.0 * jnp.maximum(var, 0.0)
+        )[..., None] * t  # (..., Q)
         return jnp.sum(g(f) * w, axis=-1)
 
     def variational_expectation(self, mu, var, y):
@@ -169,6 +174,10 @@ class PoissonLikelihood(Likelihood):
         return jnp.exp(f) if self.link == "exp" else jax.nn.softplus(f)
 
     def log_prob(self, f, y):
+        if self.link == "exp":
+            # y·log(λ) = y·f stays finite where exp(f) overflows (f ≳ 88
+            # in f32 would inf/NaN Laplace Newton iterates and quadrature)
+            return y * f - jnp.exp(f) - jax.scipy.special.gammaln(y + 1.0)
         lam = self._rate(f)
         return y * jnp.log(lam) - lam - jax.scipy.special.gammaln(y + 1.0)
 

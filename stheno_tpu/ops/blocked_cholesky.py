@@ -498,11 +498,18 @@ _bsut_vjp.defvjp(_bsut_fwd, _bsut_bwd)
 
 def blocked_solve_lower(L, b, block=1024):
     """Solve L x = b (blocked forward substitution) with the closed-form
-    O(N²) adjoint above."""
+    O(N²) adjoint above.
+
+    Reverse-mode only: the ``jax.custom_vjp`` wrapper makes ``jvp``/
+    ``jacfwd``/forward-over-reverse HVPs raise.  Use
+    ``_blocked_solve_lower_impl`` directly if you need forward-mode and can
+    accept the (memory-bound) autodiff-through-loop derivatives."""
     return _bsl_vjp(L, b, block)
 
 
 def blocked_solve_upper_T(L, b, block=1024, via_inv=False):
     """Solve Lᵀ x = b (blocked backward substitution, L lower) with the
-    closed-form O(N²) adjoint above."""
+    closed-form O(N²) adjoint above.
+
+    Reverse-mode only (see `blocked_solve_lower`)."""
     return _bsut_vjp(L, b, block, via_inv)

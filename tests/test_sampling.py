@@ -20,7 +20,7 @@ import pytest
 import stheno_tpu as st
 from stheno_tpu import GPPPInput, BlockData, gppp, posterior
 from stheno_tpu.graph import GPC, derivative
-from stheno_tpu.kernels.base import kernelmatrix
+from stheno_tpu.kernels.base import TransformedKernel, kernelmatrix
 from stheno_tpu.sampling import (
     spectral_features,
     prior_samples,
@@ -38,6 +38,9 @@ KERNELS = [
     st.with_lengthscale(st.Matern32Kernel(), 1.4),
     st.SEKernel() + 0.5 * st.Matern52Kernel(),
     st.SEKernel() * st.Matern12Kernel(),
+    # regression (ADVICE r2): lengthscale OVER a non-linear input transform
+    # must divide the transform's input, not fold into ω
+    st.with_lengthscale(TransformedKernel(st.SEKernel(), jnp.sin), 0.6),
 ]
 
 
