@@ -11,6 +11,7 @@ from stheno_tpu.parallel.mesh import (
 from stheno_tpu.parallel.chains import run_nuts_sharded, run_smc_sharded
 from stheno_tpu.parallel.cholesky import (
     distributed_cholesky,
+    distributed_cholesky_auto,
     distributed_cholesky_cyclic,
     distributed_solve_lower,
     distributed_solve_upper_T,
@@ -47,6 +48,7 @@ __all__ = [
     "run_nuts_sharded",
     "run_smc_sharded",
     "distributed_cholesky",
+    "distributed_cholesky_auto",
     "distributed_cholesky_cyclic",
     "distributed_solve_lower",
     "distributed_solve_upper_T",

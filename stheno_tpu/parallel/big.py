@@ -23,7 +23,7 @@ from jax import lax, shard_map
 from jax.sharding import PartitionSpec as P
 
 from stheno_tpu.parallel.cholesky import (
-    distributed_cholesky,
+    distributed_cholesky_auto,
     distributed_solve_lower,
     distributed_logdet_chol,
 )
@@ -91,7 +91,9 @@ def big_gp_logpdf(mesh, kernel, x, y, noise, block_size=128, axis_name="rows"):
     """
     K = sharded_kernelmatrix(mesh, kernel, x, noise=noise, axis_name=axis_name)
     n = K.shape[0]
-    L = distributed_cholesky(mesh, K, block_size=block_size, axis_name=axis_name)
+    L = distributed_cholesky_auto(
+        mesh, K, block_size=block_size, axis_name=axis_name
+    )
     alpha = distributed_solve_lower(
         mesh, L, y, block_size=block_size, axis_name=axis_name
     )

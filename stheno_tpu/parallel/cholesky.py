@@ -373,33 +373,85 @@ def _cyclic_perm(nb, p):
     return np.arange(nb).reshape(-1, p).T.reshape(-1)  # [0, p, 2p, …, 1, …]
 
 
+def _relayout_body(x_loc, *, block_size, axis_name, p, to_cyc):
+    """shard_map body for the contiguous ↔ cyclic row-block relayout.
+
+    A padded `all_to_all`: each device owns m = n_loc/B row blocks and
+    sends each to its new owner (≤ q = ⌈m/p⌉ blocks per destination pair),
+    so per-device traffic is O(n_loc·N) words — one slab, never the full
+    matrix.  (A global permutation outside shard_map is NOT equivalent:
+    GSPMD materialises the gather replicated, i.e. full K per device —
+    measured, and pinned by tests/test_parallel.py.)
+    """
+    rank = lax.axis_index(axis_name)
+    n_loc = x_loc.shape[0]
+    rest = x_loc.shape[1:]
+    B = block_size
+    m = n_loc // B
+    q = -(-m // p)  # ceil
+
+    blocks = x_loc.reshape((m, B) + rest)
+    send = jnp.zeros((p, q, B) + rest, x_loc.dtype)
+    zero = jnp.int32(0)
+    for j in range(m):  # static unroll; m is small (n_loc/B)
+        if to_cyc:
+            g = rank * m + j  # global block id (contiguous source)
+            r = g % p  # new owner under the cyclic layout
+            i = jnp.int32(j // p)  # its slot among this pair's sends
+        else:
+            g = rank + j * p  # global block id (cyclic source, slot j)
+            r = g // m  # owner under the contiguous layout
+            i = (g - r * m) // p
+        send = lax.dynamic_update_slice(
+            send,
+            blocks[j][None, None],
+            (jnp.int32(r), jnp.int32(i)) + (zero,) * (blocks[j].ndim),
+        )
+
+    recv = lax.all_to_all(send, axis_name, 0, 0)  # recv[s] = s's send to me
+    flat = recv.reshape((p * q, B) + rest)
+    ts = jnp.arange(m)
+    if to_cyc:
+        g = rank + ts * p  # my cyclic slots' global block ids
+        d = g // m  # contiguous source device
+        i = (g % m) // p  # the slot it used
+    else:
+        g = rank * m + ts  # my contiguous blocks' global ids
+        d = g % p  # cyclic source device
+        i = ts // p
+    out = jnp.take(flat, d * q + i, axis=0)
+    return out.reshape((n_loc,) + rest)
+
+
+def _relayout(mesh, K, block_size, axis_name, to_cyc):
+    p = mesh.shape[axis_name]
+    if p == 1:
+        return K
+    spec = P(axis_name, *([None] * (K.ndim - 1)))
+    fn = shard_map(
+        functools.partial(
+            _relayout_body,
+            block_size=block_size,
+            axis_name=axis_name,
+            p=p,
+            to_cyc=to_cyc,
+        ),
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=spec,
+    )
+    return fn(K)
+
+
 def to_cyclic(mesh, K, block_size, axis_name="rows"):
     """Re-shard a (contiguously) row-sharded (N, …) array into the
-    block-cyclic row layout (returned array is again row-sharded; GSPMD
-    lowers the static permutation to an all-to-all-class collective)."""
-    n = K.shape[0]
-    nb = n // block_size
-    perm = _cyclic_perm(nb, mesh.shape[axis_name])
-    spec = P(axis_name, *([None] * (K.ndim - 1)))
-    Kb = K.reshape((nb, block_size) + K.shape[1:])[perm]
-    return jax.lax.with_sharding_constraint(
-        Kb.reshape(K.shape), jax.sharding.NamedSharding(mesh, spec)
-    )
+    block-cyclic row layout (returned array is again row-sharded)."""
+    return _relayout(mesh, K, block_size, axis_name, to_cyc=True)
 
 
 def from_cyclic(mesh, K, block_size, axis_name="rows"):
     """Inverse of `to_cyclic`."""
-    import numpy as np
-
-    n = K.shape[0]
-    nb = n // block_size
-    perm = _cyclic_perm(nb, mesh.shape[axis_name])
-    inv = np.argsort(perm)
-    spec = P(axis_name, *([None] * (K.ndim - 1)))
-    Kb = K.reshape((nb, block_size) + K.shape[1:])[inv]
-    return jax.lax.with_sharding_constraint(
-        Kb.reshape(K.shape), jax.sharding.NamedSharding(mesh, spec)
-    )
+    return _relayout(mesh, K, block_size, axis_name, to_cyc=False)
 
 
 def _chol_cyclic_loop(K_loc, block_size, axis_name, n_total, p):
@@ -509,14 +561,57 @@ def distributed_cholesky_cyclic(mesh, K, block_size=128, axis_name="rows"):
     return from_cyclic(mesh, Lc, block_size, axis_name=axis_name)
 
 
+def cyclic_compatible(n, p, block_size):
+    """True iff the block-cyclic layout's divisibility constraints hold:
+    block_size | N and P | (N/block_size)."""
+    return n % block_size == 0 and (n // block_size) % p == 0
+
+
+def _pick_cyclic_block(n, p, block_size):
+    """Shrink the panel width until each device owns ≥ p row blocks
+    (m = n/(p·B) ≥ p), so the relayout's padded all_to_all stays at ~one
+    slab of temp per direction (the padding factor is p·⌈m/p⌉/m).  Only
+    small problems (N ≤ B·p²) are affected; at large N the requested block
+    size already satisfies m ≥ p."""
+    B = block_size
+    while B > 32:
+        half = B // 2
+        if (n // p) // B >= p or not cyclic_compatible(n, p, half):
+            break
+        B = half
+    return B
+
+
+def distributed_cholesky_auto(mesh, K, block_size=128, axis_name="rows"):
+    """Default distributed factorisation: routes to the load-balanced
+    block-cyclic variant (~N³/(3P) MACs/device) whenever divisibility
+    allows, falling back to the contiguous-slab variant (~N³/(2P))
+    otherwise.  Same contiguous row sharding in and out either way."""
+    n = K.shape[0]
+    p = mesh.shape[axis_name]
+    if cyclic_compatible(n, p, block_size):
+        return distributed_cholesky_cyclic(
+            mesh,
+            K,
+            block_size=_pick_cyclic_block(n, p, block_size),
+            axis_name=axis_name,
+        )
+    return distributed_cholesky(
+        mesh, K, block_size=block_size, axis_name=axis_name
+    )
+
+
 def distributed_mvn_logpdf(mesh, K, mean, y, block_size=128, axis_name="rows"):
     """log N(y; mean, K) with K rows sharded over `axis_name`.
 
-    One distributed Cholesky + one distributed forward solve + psum'd
-    logdet/quadratic — the sharded analogue of ops.chol.mvn_logpdf_chol.
+    One distributed Cholesky (cyclic layout when divisibility allows) + one
+    distributed forward solve + psum'd logdet/quadratic — the sharded
+    analogue of ops.chol.mvn_logpdf_chol.
     """
     n = K.shape[0]
-    L = distributed_cholesky(mesh, K, block_size=block_size, axis_name=axis_name)
+    L = distributed_cholesky_auto(
+        mesh, K, block_size=block_size, axis_name=axis_name
+    )
     alpha = distributed_solve_lower(
         mesh, L, y - mean, block_size=block_size, axis_name=axis_name
     )

@@ -32,7 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stheno_tpu.tree import pytree_dataclass, static_field
 from stheno_tpu.parallel.cholesky import (
-    distributed_cholesky,
+    distributed_cholesky_auto,
     distributed_solve_lower,
     distributed_solve_upper_T,
     distributed_logdet_chol,
@@ -55,9 +55,10 @@ def sharded_cov(mesh, fx, axis_name="rows"):
 
 
 def sharded_chol(mesh, fx, block_size=512, axis_name="rows"):
-    """Row-sharded lower Cholesky factor of `fx.cov()`."""
+    """Row-sharded lower Cholesky factor of `fx.cov()` (block-cyclic
+    factorisation whenever divisibility allows, slab fallback)."""
     K = sharded_cov(mesh, fx, axis_name=axis_name)
-    return distributed_cholesky(
+    return distributed_cholesky_auto(
         mesh, K, block_size=block_size, axis_name=axis_name
     )
 
