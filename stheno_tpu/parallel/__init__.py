@@ -33,6 +33,11 @@ from stheno_tpu.parallel.big import (
     sharded_matvec,
     big_gp_logpdf,
 )
+from stheno_tpu.parallel.svgp import (
+    svgp_elbo_dp,
+    data_mesh,
+    shard_batch,
+)
 from stheno_tpu.parallel.ring import (
     ring_matvec,
     pcg_solve,
@@ -41,6 +46,9 @@ from stheno_tpu.parallel.ring import (
 )
 
 __all__ = [
+    "svgp_elbo_dp",
+    "data_mesh",
+    "shard_batch",
     "chains_mesh",
     "rows_mesh",
     "grid_mesh",

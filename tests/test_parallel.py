@@ -549,3 +549,100 @@ def test_sharded_cov_not_replicated(rng):
     assert ma2.temp_size_in_bytes < full, (
         f"sharded_logpdf temp {ma2.temp_size_in_bytes} B ≥ full K {full} B"
     )
+
+
+def test_svgp_elbo_dp_matches_single_device(rng):
+    """VERDICT r2 item 6: the data-parallel SVGP bound equals the
+    single-device bound, value AND gradients (hyperparameters, variational
+    parameters, noise), to near machine precision in f64."""
+    from stheno_tpu import GPPPInput, gppp
+    from stheno_tpu.inference.svgp import SVGP, svgp_init, svgp_elbo
+    from stheno_tpu.parallel import svgp_elbo_dp, data_mesh
+
+    mesh = data_mesh(8)
+    n, m_ind = 64, 9
+
+    @gppp
+    def build(t):
+        f1 = st.GP(t["v"] * st.with_lengthscale(st.SEKernel(), t["l"]))
+        f2 = st.GP(st.Matern32Kernel())
+        return dict(f1=f1, f2=f2, f3=f1 + f2)
+
+    x = jnp.asarray(np.sort(rng.uniform(-3, 3, n)))
+    y = jnp.asarray(rng.normal(size=n))
+    z = jnp.linspace(-2.5, 2.5, m_ind)
+    theta0 = dict(v=jnp.asarray(1.4), l=jnp.asarray(0.8))
+    q0 = svgp_init(build(theta0)("f3", z, 1e-9) if False else
+                   build(theta0)(GPPPInput("f3", z), 1e-9))
+
+    def bound(params, dp):
+        f = build(dict(v=params["v"], l=params["l"]))
+        fz = f(GPPPInput("f3", z), 1e-9)
+        q = SVGP(fz, params["q_mu"], params["q_sqrt"])
+        fx = f(GPPPInput("f3", x), params["noise"])
+        if dp:
+            return svgp_elbo_dp(mesh, q, fx, y, scale=2.5)
+        return svgp_elbo(q, fx, y, scale=2.5)
+
+    params = dict(
+        v=jnp.asarray(1.4), l=jnp.asarray(0.8), noise=jnp.asarray(0.2),
+        q_mu=q0.q_mu + 0.1, q_sqrt=q0.q_sqrt + 0.05,
+    )
+    v1, g1 = jax.value_and_grad(lambda p: bound(p, False))(params)
+    with mesh:
+        v2, g2 = jax.jit(jax.value_and_grad(lambda p: bound(p, True)))(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-10)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g2[k]), np.asarray(g1[k]), rtol=1e-8, atol=1e-10,
+            err_msg=k,
+        )
+
+
+def test_svgp_dp_bernoulli_training_step(rng):
+    """One jitted data-parallel Adam step with a non-Gaussian likelihood
+    runs sharded and matches the single-device step bit-for-bit-ish."""
+    import optax
+    from stheno_tpu.graph import GPC
+    from stheno_tpu.inference.svgp import SVGP, svgp_init, svgp_elbo
+    from stheno_tpu.inference import BernoulliLikelihood
+    from stheno_tpu.parallel import svgp_elbo_dp, data_mesh, shard_batch
+
+    mesh = data_mesh(8)
+    n, m_ind = 80, 10
+    f = st.GP(1.3 * st.with_lengthscale(st.SEKernel(), 0.9), gpc=GPC())
+    x = jnp.asarray(np.sort(rng.uniform(-3, 3, n)))
+    y = jnp.asarray((rng.uniform(size=n) < 0.5).astype(np.float64))
+    z = jnp.linspace(-2.5, 2.5, m_ind)
+    lik = BernoulliLikelihood()
+    fz = f(z, 1e-9)
+    q0 = svgp_init(fz)
+    params = dict(q_mu=q0.q_mu, q_sqrt=q0.q_sqrt)
+    opt = optax.adam(0.1)
+    state = opt.init(params)
+
+    def make_step(dp):
+        def loss(p, xb, yb):
+            q = SVGP(fz, p["q_mu"], p["q_sqrt"])
+            fx = f(xb, 1e-9)
+            if dp:
+                return -svgp_elbo_dp(mesh, q, fx, yb, likelihood=lik)
+            return -svgp_elbo(q, fx, yb, likelihood=lik)
+
+        @jax.jit
+        def step(p, s, xb, yb):
+            v, g = jax.value_and_grad(loss)(p, xb, yb)
+            upd, s = opt.update(g, s)
+            return optax.apply_updates(p, upd), s, v
+
+        return step
+
+    with mesh:
+        p_dp, s_dp, v_dp = make_step(True)(
+            params, state, shard_batch(mesh, x), shard_batch(mesh, y)
+        )
+    p_sd, s_sd, v_sd = make_step(False)(params, state, x, y)
+    np.testing.assert_allclose(float(v_dp), float(v_sd), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(p_dp["q_mu"]), np.asarray(p_sd["q_mu"]), atol=1e-9
+    )
