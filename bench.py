@@ -126,7 +126,9 @@ def main():
     @jax.jit
     def km_fn(i):
         K = assemble(x + i * 1e-7, theta)
-        return jnp.vdot(K[0], K[0]) + jnp.vdot(K[-1], K[-1])
+        # full-matrix reduction: anything less (e.g. two rows) lets XLA DCE
+        # slice the kernel-matrix computation away (BASELINE.md methodology)
+        return jnp.vdot(K, K)
 
     @jax.jit
     def cholf_fn(i):

@@ -6,7 +6,7 @@ through the collectives.
 Runs on the 8-virtual-device CPU mesh by default so it can be validated
 anywhere; on a real pod slice the same code spans chips over ICI.
 
-Run: python examples/big_n_sharded.py [--n 32768]
+Run: python examples/big_n_sharded.py [--n 32768] [--fast]
 (`--n` sets the sharded-GPPP section's N; the default 4096 keeps the CPU
 mesh fast — 32k exercises the VERDICT-scale run and takes tens of minutes
 on 2 CPU cores, minutes on a real slice.)
@@ -37,7 +37,8 @@ def main():
     mesh = rows_mesh(8)
     print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} devices")
 
-    N, B = 2048, 128
+    fast = "--fast" in sys.argv
+    N, B = (512, 64) if fast else (2048, 128)
     rng = np.random.default_rng(0)
     x = jnp.asarray(np.sort(rng.uniform(-10, 10, N)))
     from stheno_tpu.graph import GPC
@@ -74,12 +75,13 @@ def main():
     # a short distributed gradient descent on the hyperparameters
     # (normalised gradients: raw grads scale with N)
     ll, ln = jnp.asarray(0.3), jnp.asarray(jnp.log(0.3))
-    for i in range(25):
+    gd_steps = 10 if fast else 25
+    for i in range(gd_steps):
         v, (gl, gn) = nlml_and_grad(ll, ln)
         norm = jnp.maximum(jnp.sqrt(gl**2 + gn**2), 1.0)
         ll, ln = ll - 0.05 * gl / norm, ln - 0.05 * gn / norm
     print(
-        f"after 25 distributed GD steps: l={float(jnp.exp(ll)):.3f} "
+        f"after {gd_steps} distributed GD steps: l={float(jnp.exp(ll)):.3f} "
         f"noise={float(jnp.exp(ln)):.3f} (truth 1.0, 0.1)"
     )
     assert 0.5 < float(jnp.exp(ll)) < 2.0
@@ -105,7 +107,7 @@ def main():
     Ng = (
         int(sys.argv[sys.argv.index("--n") + 1])
         if "--n" in sys.argv
-        else 4096
+        else (1024 if fast else 4096)
     )
     xg = jnp.linspace(-10.0, 10.0, Ng)
     xp = jnp.linspace(-8.0, 8.0, 256)

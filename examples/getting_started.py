@@ -7,7 +7,9 @@ the ParameterHandling.jl equivalent).
 Plots are replaced with self-checking assertions; every section mirrors the
 reference's code structure (citations inline).
 
-Run: python examples/getting_started.py [--platform cpu]
+Run: python examples/getting_started.py [--platform cpu] [--fast]
+(`--fast` shrinks the optimiser/NUTS iteration counts for smoke suites;
+every section and assertion still runs.)
 """
 
 import sys
@@ -46,6 +48,7 @@ def build_model(t):
 
 
 def main():
+    fast = "--fast" in sys.argv
     key = jax.random.PRNGKey(0)
 
     # Short length-scale & small variance; long length-scale & larger
@@ -112,7 +115,7 @@ def main():
         lambda t: float(nlml(jnp.asarray(t))),
         theta_init,
         method="Nelder-Mead",
-        options=dict(maxiter=2000, xatol=1e-6, fatol=1e-8),
+        options=dict(maxiter=300 if fast else 2000, xatol=1e-6, fatol=1e-8),
     )
     print(f"Nelder-Mead: nlml {nlml0:.2f} → {res_nm.fun:.2f} "
           f"({res_nm.nit} iters, {time.time()-t0:.1f}s)")
@@ -131,7 +134,7 @@ def main():
     t0 = time.time()
     res_bfgs = scipy.optimize.minimize(
         fun_jac, theta_init, jac=True, method="BFGS",
-        options=dict(maxiter=500),
+        options=dict(maxiter=120 if fast else 500),
     )
     print(f"BFGS:        nlml {nlml0:.2f} → {res_bfgs.fun:.2f} "
           f"({res_bfgs.nit} iters, {time.time()-t0:.1f}s)")
@@ -159,7 +162,8 @@ def main():
     t0 = time.time()
     samples, info = run_nuts(
         sub, logdensity, jnp.asarray(theta_init),
-        num_warmup=150, num_samples=250, num_chains=4,
+        num_warmup=80 if fast else 150, num_samples=120 if fast else 250,
+        num_chains=4,
     )
     samples = jax.block_until_ready(samples)
     print(f"NUTS: 4 chains x 250 samples in {time.time()-t0:.1f}s; "

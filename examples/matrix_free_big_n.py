@@ -18,7 +18,7 @@ reference's dense path cannot run at all.
 Self-checking: recovered hyperparameters near truth; ring posterior ≡ dense
 posterior at reduced N.
 
-Run: python examples/matrix_free_big_n.py [--platform cpu]
+Run: python examples/matrix_free_big_n.py [--platform cpu] [--fast]
 """
 
 import sys
@@ -40,9 +40,10 @@ from stheno_tpu.parallel.ring import ring_gp_logpdf, ring_posterior_mean_var
 
 
 def main():
+    fast = "--fast" in sys.argv
     n_dev = min(8, len(jax.devices()))
     mesh = rows_mesh(n_dev)
-    N = 4096
+    N = 1024 if fast else 4096
     key = jax.random.PRNGKey(0)
 
     # ground truth: l=0.7, v=1.5, noise=0.1
@@ -76,12 +77,13 @@ def main():
         return optax.apply_updates(logp, upd), state, val
 
     t0 = time.time()
-    for i in range(40):
+    steps = 20 if fast else 40
+    for i in range(steps):
         logp, state, val = train_step(logp, state, jax.random.fold_in(key, i))
     val = float(val)
     v, l, s = [float(z) for z in jnp.exp(logp)]
     print(
-        f"matrix-free training: 40 Adam steps in {time.time()-t0:.1f}s, "
+        f"matrix-free training: {steps} Adam steps in {time.time()-t0:.1f}s, "
         f"nlml={val:.1f}; v={v:.2f} l={l:.2f} noise={s:.3f} "
         f"(truth 1.5, 0.7, 0.1)"
     )

@@ -243,6 +243,9 @@ def main():
         ("chol_grad_iter1024", 1024, 256, True, "iter", 1024),
         ("chol_grad_iter2048", 1024, 256, True, "iter", 2048),
         ("chol_grad_iter512", 1024, 256, True, "iter", 512),
+        ("chol_grad_iter4096", 1024, 256, True, "iter", 4096),
+        ("chol_grad_iter8192", 1024, 256, True, "iter", 8192),
+        ("chol_grad_i2048_f2048", 2048, 256, True, "iter", 2048),
     ]:
         if want(name):
             results[name] = timed(name, make_grad_probe(blk, bb, vi, mode, bblk))
@@ -268,7 +271,7 @@ def main():
         # factoriser instead of lax.linalg.cholesky — tests the hypothesis
         # that the 64 serially-dependent base factorisations are the
         # latency bottleneck of the forward pass.
-        from stheno_tpu.ops.pallas.chol_block import chol_block_auto
+        from stheno_tpu.experimental.pallas.chol_block import chol_block_auto
 
         bc.set_gemm_precision("high")
         prev = bc.set_base_cholesky(chol_block_auto)
@@ -278,7 +281,7 @@ def main():
         bc.set_gemm_precision("highest")
     if want("chol_pal_all"):
         # Pallas base factoriser AND Pallas base triangular inverse.
-        from stheno_tpu.ops.pallas.chol_block import (
+        from stheno_tpu.experimental.pallas.chol_block import (
             chol_block_auto, tri_inv_block_auto)
 
         bc.set_gemm_precision("high")
@@ -292,7 +295,7 @@ def main():
     if want("base_chain"):
         # critical-path latency of 64 serially-dependent 256-block
         # factorisations — lax vs pallas, no big GEMMs involved.
-        from stheno_tpu.ops.pallas.chol_block import chol_block_auto
+        from stheno_tpu.experimental.pallas.chol_block import chol_block_auto
 
         def make_chain(fn):
             @jax.jit

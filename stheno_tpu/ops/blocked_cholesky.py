@@ -55,7 +55,7 @@ def _mm(a, b):
 
 
 # Base-case factoriser for blocks ≤ `base`.  Default: XLA's built-in.  The
-# Pallas in-VMEM kernel (`ops/pallas/chol_block.py`) can be swapped in via
+# Pallas in-VMEM kernel (`experimental/pallas/chol_block.py`) can be swapped in via
 # `set_base_cholesky` — the N/base serially-dependent base factorisations sit
 # on the critical path, so base-case latency matters at large N.
 _BASE_CHOL = lax.linalg.cholesky
@@ -79,7 +79,7 @@ def _tri_inv_lower_xla(L):
 
 # Base-case triangular inverse — same latency argument as _BASE_CHOL: XLA's
 # TRSM round-trips HBM per internal step; the Pallas in-VMEM row sweep
-# (`ops/pallas/chol_block.py:tri_inv_block`) can be swapped in.
+# (`experimental/pallas/chol_block.py:tri_inv_block`) can be swapped in.
 _BASE_TRI_INV = _tri_inv_lower_xla
 
 
@@ -210,7 +210,10 @@ def _chol_bwd_base(L, L_bar):
 _BWD_BASE = 256
 _BWD_VIA_INV = True
 _BWD_MODE = "iter"
-_BWD_BLOCK = 1024
+# fwd+bwd probe at N=16k f32, healthy-relay windows (round 3):
+# bwd block 1024 → 258.9 ms, 2048 → 153.5, 4096 → 138.5 — the round-2
+# "panel width insensitive" reading did not hold up on re-measurement
+_BWD_BLOCK = 4096
 
 
 def set_bwd_params(base=None, via_inv=None, mode=None, block=None):

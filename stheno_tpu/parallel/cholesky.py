@@ -568,15 +568,18 @@ def cyclic_compatible(n, p, block_size):
 
 
 def _pick_cyclic_block(n, p, block_size):
-    """Shrink the panel width until each device owns ≥ p row blocks
-    (m = n/(p·B) ≥ p), so the relayout's padded all_to_all stays at ~one
-    slab of temp per direction (the padding factor is p·⌈m/p⌉/m).  Only
-    small problems (N ≤ B·p²) are affected; at large N the requested block
-    size already satisfies m ≥ p."""
+    """Shrink the panel width toward m = n/(p·B) ≥ p row blocks per device,
+    so the relayout's padded all_to_all stays at ~one slab of temp per
+    direction (the padding factor is p·⌈m/p⌉/m) — but never past 32-wide
+    panels and never beyond 48 total panels: the panel loop is statically
+    unrolled, so nb = n/B directly scales compile time (the padding left
+    over is memory-only, bounded by ~p·B·n words per direction)."""
     B = block_size
     while B > 32:
         half = B // 2
-        if (n // p) // B >= p or not cyclic_compatible(n, p, half):
+        if (n // p) // B >= p:
+            break
+        if not cyclic_compatible(n, p, half) or n // half > 48:
             break
         B = half
     return B

@@ -12,7 +12,7 @@ from stheno_tpu.ops.blocked_cholesky import (
     blocked_solve_lower,
     blocked_solve_upper_T,
 )
-from stheno_tpu.ops.pallas.kernelmatrix import pairwise_kernelmatrix
+from stheno_tpu.experimental.pallas.kernelmatrix import pairwise_kernelmatrix
 
 
 def _psd(rng, n):
@@ -84,7 +84,9 @@ def test_pallas_kernelmatrix_interpret(rng, name, kern, dim):
     )
     K = pairwise_kernelmatrix(x, y, name=name, tile_m=128, tile_n=128)
     K_ref = st.kernelmatrix(kern, x, y)
-    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref), atol=1e-5)
+    # 2e-4: the Pallas kernel uses the matmul-identity sqdist in f32, while
+    # the library's D=1 reference path is the exact direct difference
+    np.testing.assert_allclose(np.asarray(K), np.asarray(K_ref), atol=2e-4)
     # same-input path with exact diagonal
     Kxx = pairwise_kernelmatrix(x, name=name, tile_m=128, tile_n=128)
     np.testing.assert_allclose(np.diagonal(Kxx), np.ones(n), atol=1e-6)
@@ -156,7 +158,7 @@ def test_blocked_cholesky_bwd_knob_configs(rng, bwd_base, via_inv, mode, bwd_blo
 
 def test_pallas_chol_block_and_tri_inv(rng):
     """In-VMEM base-case kernels vs numpy (interpret mode on CPU)."""
-    from stheno_tpu.ops.pallas.chol_block import (
+    from stheno_tpu.experimental.pallas.chol_block import (
         chol_block_auto,
         tri_inv_block_auto,
     )
@@ -174,7 +176,7 @@ def test_blocked_cholesky_with_pallas_bases(rng):
     """Full blocked factorisation with the Pallas base factoriser and base
     triangular inverse swapped in (the TPU fast path) matches lax."""
     from stheno_tpu.ops import blocked_cholesky as bc
-    from stheno_tpu.ops.pallas.chol_block import (
+    from stheno_tpu.experimental.pallas.chol_block import (
         chol_block_auto,
         tri_inv_block_auto,
     )

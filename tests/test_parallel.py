@@ -467,8 +467,10 @@ def test_default_route_uses_cyclic_flops(rng):
     macs = flops / 2.0
     cyclic_floor = n**3 / (3 * 8)
     slab_floor = n**3 / (2 * 8)
-    # must be clearly below the slab cost (the kernelmatrix+solve add ~n²)
-    assert macs < 0.5 * (cyclic_floor + slab_floor) + 4 * n * n, (
+    # must be clearly below the slab cost (the kernelmatrix+solve+logdet
+    # stages add ~n²-class terms — generous slack, still discriminating:
+    # the slab route would measure ≳ 1.25·slab_floor + the same n² terms)
+    assert macs < 0.5 * (cyclic_floor + slab_floor) + 6 * n * n, (
         f"per-device MACs {macs:.3g}: default route did not take the "
         f"cyclic path (cyclic {cyclic_floor:.3g}, slab {slab_floor:.3g})"
     )
@@ -534,7 +536,10 @@ def test_sharded_cov_not_replicated(rng):
     )
 
     # end-to-end: the full sharded logpdf (cov + cyclic chol + solves) must
-    # also peak well below one full N² buffer per device
+    # peak within the structural budget — a few slabs plus the relayout's
+    # padded all_to_all buffers (p·⌈m/p⌉·B·N words each; see
+    # parallel/cholesky.py::_relayout_body).  A replicated-then-sliced
+    # kernel matrix would add a full N² buffer on top and blow through.
     def lp_fn(t, x, y):
         return sharded_logpdf(
             mesh, build(t)(GPPPInput("f3", x), 0.1), y, block_size=128
@@ -546,8 +551,16 @@ def test_sharded_cov_not_replicated(rng):
             jax.jit(lp_fn).lower(dict(v=jnp.asarray(1.2)), x, y).compile()
         )
     ma2 = comp2.memory_analysis()
-    assert ma2.temp_size_in_bytes < full, (
-        f"sharded_logpdf temp {ma2.temp_size_in_bytes} B ≥ full K {full} B"
+    from stheno_tpu.parallel.cholesky import _pick_cyclic_block
+
+    B_eff = _pick_cyclic_block(n, 8, 128)
+    m_blk = (n // 8) // B_eff
+    q = -(-m_blk // 8)
+    a2a = 8 * q * B_eff * n * bytes_el
+    budget = 4 * a2a + 4 * slab
+    assert ma2.temp_size_in_bytes < budget, (
+        f"sharded_logpdf temp {ma2.temp_size_in_bytes} B ≥ structural "
+        f"budget {budget} B (a2a={a2a}, slab={slab}) — replication suspected"
     )
 
 
