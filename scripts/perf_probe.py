@@ -245,6 +245,9 @@ def main():
         ("chol_grad_iter512", 1024, 256, True, "iter", 512),
         ("chol_grad_iter4096", 1024, 256, True, "iter", 4096),
         ("chol_grad_iter8192", 1024, 256, True, "iter", 8192),
+        ("chol_grad_i4096_bb512", 1024, 512, True, "iter", 4096),
+        ("chol_grad_i4096_bb1024", 1024, 1024, True, "iter", 4096),
+        ("chol_grad_i4096_noinv", 1024, 256, False, "iter", 4096),
         ("chol_grad_i2048_f2048", 2048, 256, True, "iter", 2048),
     ]:
         if want(name):

@@ -366,8 +366,9 @@ def distributed_lower_matvec(mesh, L, v, axis_name="rows"):
 
 
 def _cyclic_perm(nb, p):
-    """Global block order that makes the cyclic layout contiguous per device:
-    device d's slots hold global blocks [d, d+P, d+2P, …]."""
+    """Global block order that makes the cyclic layout contiguous per device
+    (device d's slots hold global blocks [d, d+P, d+2P, …]) — the reference
+    permutation for the shard_map relayout below (used by its tests)."""
     import numpy as np
 
     return np.arange(nb).reshape(-1, p).T.reshape(-1)  # [0, p, 2p, …, 1, …]

@@ -659,3 +659,41 @@ def test_svgp_dp_bernoulli_training_step(rng):
     np.testing.assert_allclose(
         np.asarray(p_dp["q_mu"]), np.asarray(p_sd["q_mu"]), atol=1e-9
     )
+
+
+def test_cyclic_relayout_roundtrip(rng):
+    """The shard_map all_to_all relayout equals the reference permutation
+    and round-trips exactly, for m ≥ p and m < p block-per-device regimes."""
+    from stheno_tpu.parallel.cholesky import (
+        _cyclic_perm,
+        from_cyclic,
+        to_cyclic,
+    )
+
+    mesh = rows_mesh(8)
+    for n, B in [(256, 8), (256, 16), (128, 16)]:  # m = 4, 2, 1
+        M = jnp.asarray(rng.normal(size=(n, n)))
+        M_sh = shard_rows(mesh, M)
+        perm = _cyclic_perm(n // B, 8)
+        ref = np.asarray(M).reshape(n // B, B, n)[perm].reshape(n, n)
+        with mesh:
+            got = jax.jit(lambda K: to_cyclic(mesh, K, B))(M_sh)
+            back = jax.jit(
+                lambda K: from_cyclic(mesh, to_cyclic(mesh, K, B), B)
+            )(M_sh)
+        np.testing.assert_array_equal(np.asarray(got), ref)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(M))
+        # vectors relayout too (the logpdf path re-shards y alongside K)
+        v = jnp.asarray(rng.normal(size=n))
+        with mesh:
+            gv = jax.jit(lambda u: to_cyclic(mesh, u, B))(
+                jax.device_put(
+                    v,
+                    jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec("rows")
+                    ),
+                )
+            )
+        np.testing.assert_array_equal(
+            np.asarray(gv), np.asarray(v).reshape(n // B, B)[perm].reshape(n)
+        )
