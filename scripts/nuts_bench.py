@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=300)
     ap.add_argument("--samples", type=int, default=500)
     ap.add_argument("--max-depth", type=int, default=8)
+    ap.add_argument("--segment", type=int, default=0,
+                    help="draws per jitted segment (0 = whole run in one "
+                         "jit).  The axon relay kills executions running "
+                         "longer than ~10s as 'TPU worker crashed', so "
+                         "large-N runs need segmenting; per-draw keys are "
+                         "fold_in(offset+i) so segmentation does not change "
+                         "the draws (resume-equivalence tested).")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -81,32 +88,86 @@ def main():
         lp = logpdf(f(GPPPInput("f", x), p["noise"]), y)
         return lp - 0.5 * jnp.sum(theta**2)
 
-    @jax.jit
-    def run(key):
-        return run_nuts(
-            key,
-            logdensity,
-            theta0,
-            num_warmup=args.warmup,
-            num_samples=args.samples,
-            num_chains=args.chains,
-            max_depth=args.max_depth,
-        )
+    from stheno_tpu.inference import ChainState
 
-    t0 = time.time()
-    samples, info = run(jax.random.PRNGKey(1))
-    s_host = np.asarray(samples)
-    log(f"compile+first: {time.time()-t0:.1f}s")
+    if args.segment <= 0:
+        @jax.jit
+        def run(key):
+            return run_nuts(
+                key,
+                logdensity,
+                theta0,
+                num_warmup=args.warmup,
+                num_samples=args.samples,
+                num_chains=args.chains,
+                max_depth=args.max_depth,
+            )
 
-    t0 = time.time()
-    samples, info = run(jax.random.PRNGKey(2))
-    s_host = np.asarray(samples)  # full host pull forces everything
-    div = float(np.asarray(info.diverging).mean())
-    dt = time.time() - t0
-    log(f"steady: {dt:.1f}s")
+        t0 = time.time()
+        samples, info = run(jax.random.PRNGKey(1))
+        s_host = np.asarray(samples)
+        log(f"compile+first: {time.time()-t0:.1f}s")
+
+        t0 = time.time()
+        samples, info = run(jax.random.PRNGKey(2))
+        s_host = np.asarray(samples)  # full host pull forces everything
+        div = float(np.asarray(info.diverging).mean())
+        dt = time.time() - t0
+        log(f"steady: {dt:.1f}s")
+    else:
+        S = args.segment
+
+        @jax.jit
+        def warm(key):
+            _, _, state = run_nuts(
+                key, logdensity, theta0, num_warmup=args.warmup,
+                num_samples=1, num_chains=args.chains,
+                max_depth=args.max_depth, return_state=True,
+            )
+            return state
+
+        def seg(key, state, off):
+            return run_nuts(
+                key, logdensity, theta0, num_samples=S,
+                num_chains=args.chains, max_depth=args.max_depth,
+                resume_state=state, return_state=True, sample_offset=off,
+            )
+
+        seg_j = jax.jit(seg, static_argnums=(2,))
+
+        def full_run(key, time_sampling_only=False):
+            t0 = time.time()
+            state = warm(key)
+            jax.block_until_ready(state.q)
+            t_warm = time.time() - t0
+            chunks, infos = [], []
+            t0 = time.time()
+            off = 0
+            while off < args.samples:
+                smp, inf, state = seg_j(key, state, off)
+                chunks.append(np.asarray(smp))  # host pull forces segment
+                infos.append(np.asarray(inf.diverging))
+                off += S
+            dt = time.time() - t0
+            return (
+                np.concatenate(chunks, axis=1)[:, : args.samples],
+                np.concatenate(infos, axis=1)[:, : args.samples],
+                dt,
+                t_warm,
+            )
+
+        t0 = time.time()
+        s_host, div_a, dt, t_warm = full_run(jax.random.PRNGKey(1))
+        log(f"compile+first full pass: {time.time()-t0:.1f}s "
+            f"(warmup segment {t_warm:.1f}s)")
+        s_host, div_a, dt, t_warm = full_run(jax.random.PRNGKey(2))
+        div = float(div_a.mean())
+        log(f"steady sampling: {dt:.1f}s in segments of {S} "
+            f"(+ warmup {t_warm:.1f}s, excluded from ESS/s like the "
+            f"one-jit path excludes nothing — see note)")
 
     names = ["v", "l", "noise"]
-    flat = jnp.asarray(s_host)
+    flat = jnp.asarray(np.asarray(s_host))
     constrained = {
         nm: np.asarray(jax.vmap(jax.vmap(lambda t: unflatten(t)[nm]))(flat))
         for nm in names
@@ -127,6 +188,9 @@ def main():
         "samples": args.samples,
         "warmup": args.warmup,
         "steady_s": round(dt, 2),
+        "warmup_s_excluded": (round(t_warm, 2) if args.segment > 0 else None),
+        "timing": ("sampling-only, segmented" if args.segment > 0
+                   else "warmup+sampling, one jit"),
         "ess_per_s": round(ess_total / dt, 1),
         "draws_per_s": round(draws_per_s, 1),
         "rhat_max": round(rhat_max, 4),

@@ -36,7 +36,7 @@ def test_distributed_cholesky_matches_dense(rng):
     n, B = 128, 8
     K = _psd(rng, n)
     K_sh = shard_rows(mesh, K)
-    L = distributed_cholesky(mesh, K_sh, block_size=B)
+    L = jax.jit(lambda K: distributed_cholesky(mesh, K, block_size=B))(K_sh)
     L_ref = np.linalg.cholesky(np.asarray(K))
     np.testing.assert_allclose(np.asarray(L), L_ref, atol=1e-8)
 
@@ -47,7 +47,7 @@ def test_distributed_cholesky_block_equals_slab(rng):
     n, B = 64, 16
     K = _psd(rng, n)
     K_sh = shard_rows(mesh, K)
-    L = distributed_cholesky(mesh, K_sh, block_size=B)
+    L = jax.jit(lambda K: distributed_cholesky(mesh, K, block_size=B))(K_sh)
     np.testing.assert_allclose(
         np.asarray(L), np.linalg.cholesky(np.asarray(K)), atol=1e-8
     )
@@ -59,8 +59,12 @@ def test_distributed_solve_and_logdet(rng):
     K = _psd(rng, n)
     b = jnp.asarray(rng.normal(size=n))
     K_sh = shard_rows(mesh, K)
-    L = distributed_cholesky(mesh, K_sh, block_size=B)
-    a = distributed_solve_lower(mesh, L, b, block_size=B)
+    L, a = jax.jit(
+        lambda K, b: (
+            L_ := distributed_cholesky(mesh, K, block_size=B),
+            distributed_solve_lower(mesh, L_, b, block_size=B),
+        )
+    )(K_sh, b)
     L_ref = np.linalg.cholesky(np.asarray(K))
     np.testing.assert_allclose(np.asarray(a), np.linalg.solve(L_ref, b), atol=1e-8)
     ld = distributed_logdet_chol(mesh, L)
@@ -75,7 +79,9 @@ def test_distributed_mvn_logpdf(rng):
     K = _psd(rng, n)
     y = jnp.asarray(rng.normal(size=n))
     m = jnp.zeros(n)
-    lp = distributed_mvn_logpdf(mesh, shard_rows(mesh, K), m, y, block_size=B)
+    lp = jax.jit(
+        lambda K, m, y: distributed_mvn_logpdf(mesh, K, m, y, block_size=B)
+    )(shard_rows(mesh, K), m, y)
     from scipy.stats import multivariate_normal
 
     lp_ref = multivariate_normal(np.zeros(n), np.asarray(K)).logpdf(np.asarray(y))
@@ -102,7 +108,9 @@ def test_big_gp_logpdf_matches_single_device(rng, key):
     gpc = GPC()
     f = st.GP(st.SEKernel(), gpc=gpc)
     y = st.rand(key, f(x, 0.1))
-    lp_dist = big_gp_logpdf(mesh, st.SEKernel(), x, y, noise=0.1, block_size=B)
+    lp_dist = jax.jit(
+        lambda x, y: big_gp_logpdf(mesh, st.SEKernel(), x, y, 0.1, block_size=B)
+    )(x, y)
     lp_ref = st.logpdf(f(x, 0.1), y)
     np.testing.assert_allclose(float(lp_dist), float(lp_ref), rtol=1e-9)
 
@@ -118,11 +126,14 @@ def test_big_gp_logpdf_gradients(rng, key):
         k = st.with_lengthscale(st.SEKernel(), jnp.exp(log_l))
         return big_gp_logpdf(mesh, k, x, y, noise=noise, block_size=B)
 
-    g = jax.grad(lp, argnums=(0, 1))(jnp.asarray(0.3), jnp.asarray(0.2))
+    lp_j = jax.jit(lp)  # eager shard_map dispatch costs minutes on 2 cores
+    g = jax.jit(jax.grad(lp, argnums=(0, 1)))(
+        jnp.asarray(0.3), jnp.asarray(0.2)
+    )
     # FD reference
     eps = 1e-5
-    fd0 = (lp(0.3 + eps, 0.2) - lp(0.3 - eps, 0.2)) / (2 * eps)
-    fd1 = (lp(0.3, 0.2 + eps) - lp(0.3, 0.2 - eps)) / (2 * eps)
+    fd0 = (lp_j(0.3 + eps, 0.2) - lp_j(0.3 - eps, 0.2)) / (2 * eps)
+    fd1 = (lp_j(0.3, 0.2 + eps) - lp_j(0.3, 0.2 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g[0]), float(fd0), rtol=1e-5)
     np.testing.assert_allclose(float(g[1]), float(fd1), rtol=1e-5)
 
@@ -208,15 +219,21 @@ def test_distributed_solves_multirhs(rng):
     K_sh = shard_rows(mesh, K)
     L = distributed_cholesky(mesh, K_sh, block_size=B)
     L_np = np.linalg.cholesky(np.asarray(K))
-    X = distributed_solve_lower(mesh, L, shard_rows(mesh, Bm), block_size=B)
+    X = jax.jit(
+        lambda L, Bm: distributed_solve_lower(mesh, L, Bm, block_size=B)
+    )(L, shard_rows(mesh, Bm))
     np.testing.assert_allclose(np.asarray(X), np.linalg.solve(L_np, Bm), atol=1e-8)
-    Xt = distributed_solve_upper_T(mesh, L, Bm, block_size=B)
+    Xt = jax.jit(
+        lambda L, Bm: distributed_solve_upper_T(mesh, L, Bm, block_size=B)
+    )(L, Bm)
     np.testing.assert_allclose(np.asarray(Xt), np.linalg.solve(L_np.T, Bm), atol=1e-8)
-    S = distributed_chol_solve(mesh, L, shard_rows(mesh, Bm), block_size=B)
+    S = jax.jit(
+        lambda L, Bm: distributed_chol_solve(mesh, L, Bm, block_size=B)
+    )(L, shard_rows(mesh, Bm))
     np.testing.assert_allclose(np.asarray(S), np.linalg.solve(np.asarray(K), Bm), atol=1e-7)
     # triangular matvec
     v = jnp.asarray(rng.normal(size=n))
-    y = distributed_lower_matvec(mesh, L, v)
+    y = jax.jit(lambda L, v: distributed_lower_matvec(mesh, L, v))(L, v)
     np.testing.assert_allclose(np.asarray(y), L_np @ np.asarray(v), atol=1e-8)
 
 
@@ -251,11 +268,12 @@ def test_sharded_gppp_logpdf_gradients(rng):
         return -sharded_logpdf(mesh, f(GPPPInput("f3", x), 0.1), y, block_size=8)
 
     g = jax.jit(jax.grad(nlml))(_THETA)
+    nlml_j = jax.jit(nlml)
     eps = 1e-6
     for k in _THETA:
         tp = dict(_THETA); tp[k] = _THETA[k] + eps
         tm = dict(_THETA); tm[k] = _THETA[k] - eps
-        fd = (nlml(tp) - nlml(tm)) / (2 * eps)
+        fd = (nlml_j(tp) - nlml_j(tm)) / (2 * eps)
         np.testing.assert_allclose(float(g[k]), float(fd), rtol=1e-4,
                                    err_msg=f"grad mismatch for {k}")
 
