@@ -88,7 +88,11 @@ def main():
         lp = logpdf(f(GPPPInput("f", x), p["noise"]), y)
         return lp - 0.5 * jnp.sum(theta**2)
 
-    from stheno_tpu.inference import ChainState
+    from stheno_tpu.inference import (
+        ChainState,
+        nuts_warmup,
+        warmup_result,
+    )
 
     if args.segment <= 0:
         @jax.jit
@@ -117,14 +121,37 @@ def main():
     else:
         S = args.segment
 
-        @jax.jit
-        def warm(key):
-            _, _, state = run_nuts(
+        # warmup in W-iteration segments (each a short XLA program — the
+        # relay kills long single executions); bit-equal to fused warmup
+        WSEG = max(args.segment, 10)
+
+        # first segment: static start 0 (initialises chains); later
+        # segments share ONE compiled program (traced start, static length)
+        first = jax.jit(
+            lambda key: nuts_warmup(
                 key, logdensity, theta0, num_warmup=args.warmup,
-                num_samples=1, num_chains=args.chains,
-                max_depth=args.max_depth, return_state=True,
+                num_chains=args.chains, max_depth=args.max_depth,
+                segment=(0, min(WSEG, args.warmup)),
             )
-            return state
+        )
+
+        @jax.jit
+        def later(key, start, state):
+            return nuts_warmup(
+                key, logdensity, theta0, num_warmup=args.warmup,
+                num_chains=args.chains, max_depth=args.max_depth,
+                segment=(start, WSEG), state=state,
+            )
+
+        def warm(key):
+            state = first(key)
+            jax.block_until_ready(state.q)
+            a = min(WSEG, args.warmup)
+            while a < args.warmup:
+                state = later(key, jnp.asarray(a, jnp.int32), state)
+                jax.block_until_ready(state.q)
+                a += WSEG
+            return warmup_result(state)
 
         def seg(key, state, off):
             return run_nuts(

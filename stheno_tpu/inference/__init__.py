@@ -11,6 +11,9 @@ from stheno_tpu.inference.hmc import (
     nuts_kernel,
     hmc_kernel,
     run_nuts,
+    nuts_warmup,
+    warmup_result,
+    WarmupState,
     NUTSInfo,
     ChainState,
 )
@@ -50,6 +53,9 @@ __all__ = [
     "nuts_kernel",
     "hmc_kernel",
     "run_nuts",
+    "nuts_warmup",
+    "warmup_result",
+    "WarmupState",
     "NUTSInfo",
     "ChainState",
     "save_checkpoint",

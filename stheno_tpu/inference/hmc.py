@@ -31,7 +31,7 @@ import jax.flatten_util
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["nuts_kernel", "hmc_kernel", "run_nuts", "NUTSInfo", "window_adaptation_schedule"]
+__all__ = ["nuts_kernel", "hmc_kernel", "run_nuts", "nuts_warmup", "warmup_result", "WarmupState", "NUTSInfo", "window_adaptation_schedule"]
 
 
 _DIVERGENCE_THRESHOLD = 1000.0
@@ -488,6 +488,172 @@ class ChainState(NamedTuple):
     inv_mass: jnp.ndarray  # (C, d)
 
 
+class WarmupState(NamedTuple):
+    """Resumable MID-warmup state: positions + the full adaptation state
+    (dual-averaging + Welford + current mass matrix).  Checkpointable
+    pytree — SURVEY.md §5's "(rng key, chain states, adaptation state)"."""
+
+    q: jnp.ndarray  # (C, d)
+    logp: jnp.ndarray  # (C,)
+    grad: jnp.ndarray  # (C, d)
+    da: DualAveragingState  # per-chain scalar leaves (C,)
+    wf: WelfordState  # per-chain leaves
+    inv_mass: jnp.ndarray  # (C, d)
+
+
+def _make_warm_body(step_fn, target_accept, d, dt):
+    """One Stan-window warmup iteration (shared by the fused warmup in
+    `run_nuts` and the segmented `nuts_warmup` — bit-identical by
+    construction)."""
+
+    def warm_body(carry, xs):
+        (q, logp, grad, da, wf, inv_mass), (k, in_w, w_end) = carry, xs
+        eps = jnp.exp(da.log_eps)
+        q, logp, grad, info = step_fn(k, q, logp, grad, eps, inv_mass)
+        da = _da_update(da, info.accept_prob, target_accept)
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(in_w, a, b), _welford_update(wf, q), wf
+        )
+        # at window end: reset mass matrix + step size search state
+        new_inv = _welford_variance(wf)
+        inv_mass = jnp.where(w_end, new_inv, inv_mass)
+        da_reset = _da_init(jnp.exp(da.log_eps_avg))
+        da = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(w_end, a, b), da_reset, da
+        )
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(w_end, a, b), _welford_init(d, dt), wf
+        )
+        return (q, logp, grad, da, wf, inv_mass), None
+
+    return warm_body
+
+
+def _is_traced(x):
+    return isinstance(x, jax.core.Tracer) or (
+        isinstance(x, jnp.ndarray) and not isinstance(x, (int,))
+    )
+
+
+def nuts_warmup(
+    key,
+    logdensity_fn,
+    init_position,
+    num_warmup,
+    num_chains=1,
+    max_depth=10,
+    target_accept=0.8,
+    kernel="nuts",
+    num_hmc_steps=32,
+    init_jitter=1.0,
+    segment=None,
+    state: "WarmupState | None" = None,
+):
+    """Stan-window warmup, optionally in resumable segments.
+
+    ``segment=(a, b)`` runs warmup iterations [a, b) of the fixed
+    `num_warmup`-iteration schedule, resuming from `state` (required when
+    a > 0), and returns the updated `WarmupState`.  Inside `jit`, `a` may
+    be a traced scalar — the second element is then the static segment
+    LENGTH, ``segment=(start, n)`` — so equal-length segments share one
+    compiled program.  Given the SAME
+    top-level `key` (the one you will also pass to `run_nuts`), any
+    segmentation — including none — produces bit-identical adaptation to
+    `run_nuts`'s internal warmup: per-iteration keys are the [a, b) slice
+    of the same split, and the window schedule is sliced statically.
+
+    Why: (a) pod-scale warmups are long-running and should checkpoint
+    mid-warmup (`inference.checkpoint` persists the state — SURVEY.md §5);
+    (b) relayed devices bound single-execution time, so each segment stays
+    a short XLA program.
+
+    Finish with ``warmup_result(state)`` → `ChainState` for
+    ``run_nuts(key, ..., resume_state=...)`` (which then reproduces the
+    uninterrupted run's draws bit-for-bit).
+    """
+    flat0, unravel = jax.flatten_util.ravel_pytree(init_position)
+    d = flat0.shape[0]
+    dt = flat0.dtype
+
+    def flat_logdensity(qf):
+        return logdensity_fn(unravel(qf))
+
+    ld_and_grad = jax.value_and_grad(flat_logdensity)
+    step_fn = (
+        nuts_kernel(flat_logdensity, max_depth=max_depth)
+        if kernel == "nuts"
+        else hmc_kernel(flat_logdensity, num_steps=num_hmc_steps)
+    )
+    a, b = segment if segment is not None else (0, num_warmup)
+    seg_len = int(b) - int(a) if not _is_traced(a) else None
+    if seg_len is not None:
+        if not (0 <= int(a) < int(b) <= num_warmup):
+            raise ValueError(f"segment {segment} outside [0, {num_warmup})")
+        if int(a) > 0 and state is None:
+            raise ValueError(
+                "resuming a warmup segment (a > 0) requires `state`"
+            )
+    else:
+        # traced start: the second element is the static segment LENGTH
+        # (segment=(start, n)) — a stop value cannot be introspected under
+        # tracing.  Requires `state` (the start-0 initialisation branch is
+        # a Python-level decision).
+        seg_len = int(b)
+        if state is None:
+            raise ValueError("a traced segment start requires `state`")
+    num_steps = int(b - a) if not _is_traced(a) else seg_len
+
+    in_window, window_end = window_adaptation_schedule(num_warmup)
+    warm_body = _make_warm_body(step_fn, target_accept, d, dt)
+
+    key_init, key_run = jax.random.split(key)
+    chain_keys = jax.random.split(key_run, num_chains)
+
+    def chain_init(chain_key, q0):
+        _, k_eps, _, _ = jax.random.split(chain_key, 4)
+        logp0, grad0 = ld_and_grad(q0)
+        inv_mass0 = jnp.ones((d,), dt)
+        eps0 = _find_reasonable_eps(
+            ld_and_grad, k_eps, q0, logp0, grad0, inv_mass0
+        )
+        return WarmupState(
+            q0, logp0, grad0, _da_init(eps0), _welford_init(d, dt), inv_mass0
+        )
+
+    def chain_segment(chain_key, st):
+        _, _, k_warm, _ = jax.random.split(chain_key, 4)
+        idx = jnp.asarray(a, jnp.int32) + jnp.arange(num_steps, dtype=jnp.int32)
+        warm_keys = jax.vmap(lambda i: jax.random.fold_in(k_warm, i))(idx)
+        in_w = lax.dynamic_slice(
+            in_window, (jnp.asarray(a, jnp.int32),), (num_steps,)
+        )
+        w_end = lax.dynamic_slice(
+            window_end, (jnp.asarray(a, jnp.int32),), (num_steps,)
+        )
+        carry = (st.q, st.logp, st.grad, st.da, st.wf, st.inv_mass)
+        carry, _ = lax.scan(warm_body, carry, (warm_keys, in_w, w_end))
+        return WarmupState(*carry)
+
+    if (not _is_traced(a)) and int(a) == 0:
+        q_inits = flat0[None, :] + init_jitter * jax.random.normal(
+            key_init, (num_chains, d), dt
+        ).at[0].set(0.0)
+        state = jax.vmap(chain_init)(chain_keys, q_inits)
+    return jax.vmap(chain_segment)(chain_keys, state)
+
+
+def warmup_result(state: WarmupState) -> ChainState:
+    """Adapted `ChainState` (eps = averaged dual-averaging step size) for
+    `run_nuts(..., resume_state=...)`."""
+    return ChainState(
+        q=state.q,
+        logp=state.logp,
+        grad=state.grad,
+        eps=jnp.exp(state.da.log_eps_avg),
+        inv_mass=state.inv_mass,
+    )
+
+
 def run_nuts(
     key,
     logdensity_fn,
@@ -544,34 +710,17 @@ def run_nuts(
         idx = sample_offset + jnp.arange(num_samples)
         return jax.vmap(lambda i: jax.random.fold_in(k_samp, i))(idx)
 
+    warm_body = _make_warm_body(step_fn, target_accept, d, dt)
+
     def single_chain(chain_key, q0):
         k_init, k_eps, k_warm, k_samp = jax.random.split(chain_key, 4)
         logp0, grad0 = ld_and_grad(q0)
         inv_mass0 = jnp.ones((d,), dt)
         eps0 = _find_reasonable_eps(ld_and_grad, k_eps, q0, logp0, grad0, inv_mass0)
 
-        # ---- warmup scan ----
-        def warm_body(carry, xs):
-            (q, logp, grad, da, wf, inv_mass), (k, in_w, w_end) = carry, xs
-            eps = jnp.exp(da.log_eps)
-            q, logp, grad, info = step_fn(k, q, logp, grad, eps, inv_mass)
-            da = _da_update(da, info.accept_prob, target_accept)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(in_w, a, b), _welford_update(wf, q), wf
-            )
-            # at window end: reset mass matrix + step size search state
-            new_inv = _welford_variance(wf)
-            inv_mass = jnp.where(w_end, new_inv, inv_mass)
-            da_reset = _da_init(jnp.exp(da.log_eps_avg))
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(w_end, a, b), da_reset, da
-            )
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(w_end, a, b), _welford_init(d, dt), wf
-            )
-            return (q, logp, grad, da, wf, inv_mass), None
-
-        warm_keys = jax.random.split(k_warm, num_warmup)
+        warm_keys = jax.vmap(
+            lambda i: jax.random.fold_in(k_warm, i)
+        )(jnp.arange(num_warmup))
         init_carry = (
             q0, logp0, grad0, _da_init(eps0), _welford_init(d, dt), inv_mass0
         )

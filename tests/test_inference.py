@@ -317,3 +317,48 @@ def test_checkpoint_survives_treedef_repr_change(tmp_path):
     # legacy checkpoints still reject shape scrambles
     with pytest.raises(ValueError, match="shape"):
         load_checkpoint(path, {"a": jnp.ones((2, 2)), "b": {"c": jnp.arange(3.0)}})
+
+
+def test_segmented_warmup_equals_fused(key):
+    """nuts_warmup (whole, and in two segments) reproduces run_nuts's
+    internal warmup bit-for-bit: sampling from warmup_result(state) with the
+    same top-level key equals the uninterrupted run's draws exactly."""
+    from stheno_tpu.inference import (
+        nuts_warmup,
+        run_nuts,
+        warmup_result,
+    )
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2) - 0.1 * jnp.sum(q**4)
+
+    W, S, C = 80, 40, 3
+    full, _ = run_nuts(
+        key, logp, jnp.zeros(2), num_warmup=W, num_samples=S, num_chains=C
+    )
+
+    # one segment
+    st1 = nuts_warmup(key, logp, jnp.zeros(2), num_warmup=W, num_chains=C)
+    s1, _ = run_nuts(
+        key, logp, jnp.zeros(2), num_samples=S, num_chains=C,
+        resume_state=warmup_result(st1),
+    )
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(full))
+
+    # two segments, resuming mid-warmup
+    sta = nuts_warmup(
+        key, logp, jnp.zeros(2), num_warmup=W, num_chains=C, segment=(0, 30)
+    )
+    stb = nuts_warmup(
+        key, logp, jnp.zeros(2), num_warmup=W, num_chains=C,
+        segment=(30, W), state=sta,
+    )
+    s2, _ = run_nuts(
+        key, logp, jnp.zeros(2), num_samples=S, num_chains=C,
+        resume_state=warmup_result(stb),
+    )
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(full))
+
+    # segment misuse raises
+    with pytest.raises(ValueError):
+        nuts_warmup(key, logp, jnp.zeros(2), num_warmup=W, segment=(10, 20))

@@ -121,7 +121,7 @@ def test_ring_gp_solve_grad_through_collectives(rng):
         k = 1.7 * st.with_lengthscale(st.SEKernel(), ell)
         return jnp.vdot(y_sh, ring_matvec(mesh, k, x_sh, y_sh, noise=noise))
 
-    g = jax.grad(qform)(0.9)
+    g = jax.jit(jax.grad(qform))(0.9)
     # dense oracle
     def qform_dense(ell):
         k = 1.7 * st.with_lengthscale(st.SEKernel(), ell)
@@ -174,9 +174,9 @@ def test_ring_gp_logpdf_ygrad_exact(rng, key):
     n = 64
     x, y = _data(rng, n)
     x_sh, y_sh = shard_rows(mesh, x), shard_rows(mesh, y)
-    gy = jax.grad(lambda yy: ring_gp_logpdf(
+    gy = jax.jit(jax.grad(lambda yy: ring_gp_logpdf(
         mesh, _kernel(), x_sh, yy, 0.2, key, num_probes=4, lanczos_iters=8
-    ))(y_sh)
+    )))(y_sh)
     K = _kernel().matrix(x, x) + 0.2 * jnp.eye(n, dtype=x.dtype)
     np.testing.assert_allclose(
         np.asarray(gy), np.asarray(-jnp.linalg.solve(K, y)), atol=1e-6
