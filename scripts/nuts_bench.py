@@ -160,7 +160,7 @@ def main():
                 resume_state=state, return_state=True, sample_offset=off,
             )
 
-        seg_j = jax.jit(seg, static_argnums=(2,))
+        seg_j = jax.jit(seg)  # offset traced: one compile for all segments
 
         def full_run(key, time_sampling_only=False):
             t0 = time.time()
@@ -171,7 +171,7 @@ def main():
             t0 = time.time()
             off = 0
             while off < args.samples:
-                smp, inf, state = seg_j(key, state, off)
+                smp, inf, state = seg_j(key, state, jnp.asarray(off, jnp.int32))
                 chunks.append(np.asarray(smp))  # host pull forces segment
                 infos.append(np.asarray(inf.diverging))
                 off += S

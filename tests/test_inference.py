@@ -362,3 +362,38 @@ def test_segmented_warmup_equals_fused(key):
     # segment misuse raises
     with pytest.raises(ValueError):
         nuts_warmup(key, logp, jnp.zeros(2), num_warmup=W, segment=(10, 20))
+
+
+def test_segmented_warmup_traced_start(key):
+    """Traced-start mode (`segment=(start, n)` under jit) shares one
+    compiled program across segments AND still reproduces the fused warmup
+    bit-for-bit."""
+    from stheno_tpu.inference import nuts_warmup, run_nuts, warmup_result
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    W, S, C, SEG = 60, 30, 2, 20
+    full, _ = run_nuts(
+        key, logp, jnp.zeros(2), num_warmup=W, num_samples=S, num_chains=C
+    )
+    st0 = nuts_warmup(
+        key, logp, jnp.zeros(2), num_warmup=W, num_chains=C,
+        segment=(0, SEG),
+    )
+
+    @jax.jit
+    def later(start, state):
+        return nuts_warmup(
+            key, logp, jnp.zeros(2), num_warmup=W, num_chains=C,
+            segment=(start, SEG), state=state,
+        )
+
+    state = st0
+    for a in range(SEG, W, SEG):
+        state = later(jnp.asarray(a, jnp.int32), state)
+    s2, _ = run_nuts(
+        key, logp, jnp.zeros(2), num_samples=S, num_chains=C,
+        resume_state=warmup_result(state),
+    )
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(full))
