@@ -213,11 +213,13 @@ def main():
 
     _bwd_defaults = bc.set_bwd_params()  # read without changing
 
-    def make_grad_probe(block, bwd_base, via_inv, mode="rec", bwd_block=1024):
+    def make_grad_probe(block, bwd_base, via_inv, mode="rec", bwd_block=1024,
+                        bwd_prec=None):
         # library-default forward (block, 256) + tuned backward knobs; the
         # knobs are trace-time state, so set them before (re)tracing.
         bc.set_bwd_params(base=bwd_base, via_inv=via_inv, mode=mode,
                           block=bwd_block)
+        bc.set_bwd_precision(bwd_prec)
 
         @jax.jit
         def grad_probe(i):

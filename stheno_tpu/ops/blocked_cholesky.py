@@ -331,16 +331,46 @@ def _chol_bwd_iter(L, L_bar, block, base):
     return S_trail
 
 
+#: Optional MXU precision override for the Cholesky BACKWARD pass only
+#: (None → follow the forward `_PREC`).  The forward accumulation needs
+#: ≥HIGH (bf16_3x) or late diagonal blocks go indefinite; the backward is
+#: a linear map of the cotangent where relative error stays ~bounded, so
+#: cheaper passes are a candidate — A/B'd by scripts/perf_probe.py.
+_BWD_PREC = None
+
+
+def set_bwd_precision(p):
+    """Set the backward-pass GEMM precision ('default'|'high'|'highest'|
+    a lax.Precision|None to follow the forward).  Trace-time state;
+    returns the previous value."""
+    global _BWD_PREC
+    prev = _BWD_PREC
+    if isinstance(p, str):
+        p = lax.Precision[p.upper()]
+    _BWD_PREC = p
+    return prev
+
+
 def _blocked_cholesky_bwd(block, base, L, L_bar):
     """Blocked reverse rule; returns the symmetrised gradient (upstream K is
     symmetric, so only sym(K̄) matters — cholesky_psd symmetrises anyway)."""
     # the output's strict upper triangle is structurally zero: ignore any
     # cotangent that lands there
     eff_base = max(base, _BWD_BASE)
-    if _BWD_MODE == "iter":
-        return (_chol_bwd_iter(L, jnp.tril(L_bar), _BWD_BLOCK, eff_base),)
-    K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=eff_base)
-    return (0.5 * (K_raw + K_raw.T),)
+    # scope the backward-precision override over this trace (the whole
+    # reverse rule, including its internal blocked solves, traces inside
+    # this Python call — trace-time global swap is exact scoping)
+    prev = set_gemm_precision(_BWD_PREC) if _BWD_PREC is not None else None
+    try:
+        if _BWD_MODE == "iter":
+            out = _chol_bwd_iter(L, jnp.tril(L_bar), _BWD_BLOCK, eff_base)
+        else:
+            K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=eff_base)
+            out = 0.5 * (K_raw + K_raw.T)
+    finally:
+        if prev is not None:
+            set_gemm_precision(prev)
+    return (out,)
 
 
 blocked_cholesky.defvjp(_blocked_cholesky_fwd, _blocked_cholesky_bwd)
