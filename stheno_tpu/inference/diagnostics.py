@@ -52,6 +52,10 @@ def effective_sample_size(x):
         )
     x = split_chains(x)
     c, s = x.shape
+    if s < 4:
+        # too few draws for the Geyer pairing (t_max = 0 → empty argmin);
+        # an ESS estimate would be meaningless — be explicit
+        return jnp.asarray(jnp.nan, x.dtype)
     acov = _autocov(x)  # (C, S)
     chain_var = acov[:, 0] * s / (s - 1.0)
     within = jnp.mean(chain_var)
