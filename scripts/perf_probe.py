@@ -255,6 +255,15 @@ def main():
         if want(name):
             results[name] = timed(name, make_grad_probe(blk, bb, vi, mode, bblk))
             bc.set_bwd_params(*_bwd_defaults)  # restore library defaults
+    for name, prec in [("chol_grad_bp_def", "default"),
+                       ("chol_grad_bp_high", "high")]:
+        if want(name):
+            results[name] = timed(
+                name,
+                make_grad_probe(1024, 256, True, "iter", 4096, bwd_prec=prec),
+            )
+            bc.set_bwd_params(*_bwd_defaults)
+            bc.set_bwd_precision(None)
     for blk in (1024, 4096):
         if want(f"chol_b{blk}"):
             results[f"chol_b{blk}"] = timed(
