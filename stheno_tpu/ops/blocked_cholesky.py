@@ -332,10 +332,12 @@ def _chol_bwd_iter(L, L_bar, block, base):
 
 
 #: Optional MXU precision override for the Cholesky BACKWARD pass only
-#: (None → follow the forward `_PREC`).  The forward accumulation needs
-#: ≥HIGH (bf16_3x) or late diagonal blocks go indefinite; the backward is
-#: a linear map of the cotangent where relative error stays ~bounded, so
-#: cheaper passes are a candidate — A/B'd by scripts/perf_probe.py.
+#: (None → follow the forward `_PREC`).  WARNING — measured at N=16k f32:
+#: 'default' (bf16 1-pass) saves ~37 ms but the 2^-8 GEMM error is
+#: amplified unboundedly by the α αᵀ − K⁻¹ cancellation structure of K̄
+#: (hyperparameter gradients came out 56× wrong; BASELINE.md negative
+#: result #3).  Keep None/HIGH unless the consumer is provably
+#: cancellation-free.
 _BWD_PREC = None
 
 
