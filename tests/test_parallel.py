@@ -217,23 +217,22 @@ def test_distributed_solves_multirhs(rng):
     K = _psd(rng, n)
     Bm = jnp.asarray(rng.normal(size=(n, k)))
     K_sh = shard_rows(mesh, K)
-    L = distributed_cholesky(mesh, K_sh, block_size=B)
-    L_np = np.linalg.cholesky(np.asarray(K))
-    X = jax.jit(
-        lambda L, Bm: distributed_solve_lower(mesh, L, Bm, block_size=B)
-    )(L, shard_rows(mesh, Bm))
-    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(L_np, Bm), atol=1e-8)
-    Xt = jax.jit(
-        lambda L, Bm: distributed_solve_upper_T(mesh, L, Bm, block_size=B)
-    )(L, Bm)
-    np.testing.assert_allclose(np.asarray(Xt), np.linalg.solve(L_np.T, Bm), atol=1e-8)
-    S = jax.jit(
-        lambda L, Bm: distributed_chol_solve(mesh, L, Bm, block_size=B)
-    )(L, shard_rows(mesh, Bm))
-    np.testing.assert_allclose(np.asarray(S), np.linalg.solve(np.asarray(K), Bm), atol=1e-7)
-    # triangular matvec
     v = jnp.asarray(rng.normal(size=n))
-    y = jax.jit(lambda L, v: distributed_lower_matvec(mesh, L, v))(L, v)
+    L_np = np.linalg.cholesky(np.asarray(K))
+
+    @jax.jit  # ONE compile for the whole pipeline (eager shard_map and
+    def pipeline(K, Bm_sh, Bm, v):  # per-op jits are compile-bound here)
+        L = distributed_cholesky(mesh, K, block_size=B)
+        X = distributed_solve_lower(mesh, L, Bm_sh, block_size=B)
+        Xt = distributed_solve_upper_T(mesh, L, Bm, block_size=B)
+        S = distributed_chol_solve(mesh, L, Bm_sh, block_size=B)
+        y = distributed_lower_matvec(mesh, L, v)
+        return X, Xt, S, y
+
+    X, Xt, S, y = pipeline(K_sh, shard_rows(mesh, Bm), Bm, v)
+    np.testing.assert_allclose(np.asarray(X), np.linalg.solve(L_np, Bm), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Xt), np.linalg.solve(L_np.T, Bm), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(S), np.linalg.solve(np.asarray(K), Bm), atol=1e-7)
     np.testing.assert_allclose(np.asarray(y), L_np @ np.asarray(v), atol=1e-8)
 
 
