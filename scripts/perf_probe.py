@@ -251,6 +251,12 @@ def main():
         ("chol_grad_i4096_bb1024", 1024, 1024, True, "iter", 4096),
         ("chol_grad_i4096_noinv", 1024, 256, False, "iter", 4096),
         ("chol_grad_i2048_f2048", 2048, 256, True, "iter", 2048),
+        # round-4 fused backward (solve-free panel sweep) ladder
+        ("chol_grad_fused512", 1024, 256, True, "fused", 512),
+        ("chol_grad_fused1024", 1024, 256, True, "fused", 1024),
+        ("chol_grad_fused2048", 1024, 256, True, "fused", 2048),
+        ("chol_grad_fused4096", 1024, 256, True, "fused", 4096),
+        ("chol_grad_f1024_bb512", 1024, 512, True, "fused", 1024),
     ]:
         if want(name):
             results[name] = timed(name, make_grad_probe(blk, bb, vi, mode, bblk))
@@ -270,6 +276,21 @@ def main():
                 f"chol_b{blk}",
                 make_chol_probe(
                     lambda K, b=blk: bc._blocked_cholesky_impl(K, b, 256)),
+                check=trK)
+    # forward base-case ladder: larger bases shorten the serial diagonal
+    # chain (the forward's ~65%-of-calibrated-peak gap, round 4).  Library
+    # precision (HIGH), set explicitly — earlier variants may have left
+    # HIGHEST behind.
+    for blk, base in [(1024, 256), (1024, 512), (1024, 1024), (2048, 512),
+                      (2048, 1024)]:
+        name = f"chol_f{blk}_b{base}"
+        if want(name):
+            bc.set_gemm_precision("high")
+            results[name] = timed(
+                name,
+                make_chol_probe(
+                    lambda K, b=blk, ba=base: bc._blocked_cholesky_impl(
+                        K, b, ba)),
                 check=trK)
     if want("chol_btri"):
         bc.set_gemm_precision("highest")
@@ -437,6 +458,36 @@ def main():
                 return v + g[1] * 1e-9
 
             results["bench_hgrad"] = timed("bench_hgrad", hgrad_run)
+    if want("gemm_peak"):
+        # Calibration: achieved rate of ONE plain square GEMM at each
+        # precision — the real "peak" all efficiency claims divide by.
+        for nm, prec, n in [
+            ("gemm_high_8k", lax.Precision.HIGH, 8192),
+            ("gemm_high_16k", lax.Precision.HIGH, 16384),
+            ("gemm_highest_8k", lax.Precision.HIGHEST, 8192),
+            ("gemm_bf16_8k", lax.Precision.DEFAULT, 8192),
+        ]:
+            def make(prec=prec, n=n):
+                @jax.jit
+                def run(i):
+                    # real materialised n×n operands (no broadcast shortcut)
+                    r = jax.lax.broadcasted_iota(DT, (n, n), 0)
+                    c = jax.lax.broadcasted_iota(DT, (n, n), 1)
+                    a = jnp.sin(r * 0.001 + c * 0.002 + i * 1e-6)
+                    b = jnp.cos(r * 0.002 - c * 0.001)
+                    # barrier: keep operand generation OUT of the matmul
+                    # fusion (else the producers re-run per MXU tile visit)
+                    a, b = lax.optimization_barrier((a, b))
+                    C = jnp.matmul(a, b, precision=prec)
+                    return jnp.sum(C)
+
+                return run
+
+            ms = timed(nm, make())
+            macs = n**3
+            log(f"{nm:16s} {macs/ (ms/1e3) / 1e12:8.1f} e12 MAC/s raw "
+                f"({macs/((ms-26)/1e3)/1e12:7.1f} dev-est)")
+            results[nm] = ms
     if want("km_xla"):
         results["km_xla"] = timed("km_xla", make_km_xla())
     if want("km_pal"):

@@ -36,3 +36,119 @@ def default_float():
 
 def default_jitter(dtype) -> float:
     return _DEFAULT_JITTER.get(jnp.dtype(dtype), 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Scoped (thread-local) tuning overrides
+# ---------------------------------------------------------------------------
+# The perf knobs of the blocked linear algebra (GEMM precision, backward
+# panel parameters, base-case factorisers, Cholesky backend) are *trace-time*
+# state.  Historically they were process-wide mutable module globals flipped
+# by `set_*` functions — thread-unsafe and easy to leak (a forgotten restore
+# silently changes every later trace; VERDICT r3 weak-item 2).  The scoped
+# API below layers a thread-local override stack over those globals:
+#
+#     with stheno_tpu.config.gemm_precision("highest"):
+#         L = cholesky_psd(K)          # traces with HIGHEST GEMMs
+#     # scope ends — the override CANNOT escape, even on exceptions
+#
+# The legacy `set_*` functions keep working (they move the default layer)
+# but are deprecated in favour of these context managers.
+#
+# jit-caching caveat (unchanged from the setters): the overrides are read at
+# TRACE time and are invisible to jit cache keys.  Entry points that must
+# re-specialise on the active configuration should close over `snapshot()`
+# (hashable) or pass it as a static argument.
+
+import threading
+from contextlib import contextmanager
+
+from jax import lax
+
+_tls = threading.local()
+
+
+def _override_stack():
+    stack = getattr(_tls, "stack", None)
+    if stack is None:
+        stack = _tls.stack = []
+    return stack
+
+
+def active_override(key, default):
+    """Innermost scoped override for `key`, else `default` (the module
+    global set by the legacy setter)."""
+    for frame in reversed(_override_stack()):
+        if key in frame:
+            return frame[key]
+    return default
+
+
+@contextmanager
+def scoped(**overrides):
+    """Push raw override key/values for the dynamic extent of the block."""
+    _override_stack().append(overrides)
+    try:
+        yield
+    finally:
+        _override_stack().pop()
+
+
+def _norm_precision(p):
+    if p is None:
+        raise ValueError(
+            "precision must be a lax.Precision or 'default'|'high'|'highest'"
+            " — got None"
+        )
+    return lax.Precision[p.upper()] if isinstance(p, str) else p
+
+
+def gemm_precision(p):
+    """Scope the MXU precision of all blocked-Cholesky/TRSM GEMMs:
+    `with gemm_precision('highest'): ...` (re-jit inside the scope)."""
+    return scoped(gemm_precision=_norm_precision(p))
+
+
+def bwd_precision(p):
+    """Scope the Cholesky-backward-only GEMM precision (None → follow the
+    forward precision).  See BASELINE.md negative result #3 before passing
+    'default' (bf16 1-pass): cancellation in K̄ amplifies its 2^-8 error."""
+    return scoped(bwd_precision=None if p is None else _norm_precision(p))
+
+
+def bwd_params(base=None, via_inv=None, mode=None, block=None):
+    """Scope the blocked-Cholesky reverse-rule knobs (only the ones given):
+    `with bwd_params(mode='fused', block=1024): ...`."""
+    frame = {}
+    if base is not None:
+        frame["bwd_base"] = base
+    if via_inv is not None:
+        frame["bwd_via_inv"] = via_inv
+    if mode is not None:
+        frame["bwd_mode"] = mode
+    if block is not None:
+        frame["bwd_block"] = block
+    return scoped(**frame)
+
+
+def chol_backend(name):
+    """Scope the Cholesky backend routing: 'auto' | 'blocked' | 'lax'."""
+    if name not in ("auto", "blocked", "lax"):
+        raise ValueError(f"unknown Cholesky backend {name!r}")
+    return scoped(chol_backend=name)
+
+
+def snapshot():
+    """Hashable tuple of the ACTIVE tuning configuration (overrides merged
+    over the legacy-global defaults).  Close a jitted entry point over this
+    (or pass it as a static arg) to make the jit cache configuration-aware."""
+    from stheno_tpu.ops import blocked_cholesky as _bc
+    from stheno_tpu.ops import chol as _chol
+
+    return (
+        ("gemm_precision", _bc._active_prec()),
+        ("bwd_precision", _bc._active_bwd_prec()),
+        ("bwd_params", _bc._active_bwd_params()),
+        ("chol_backend", active_override("chol_backend", _chol.CHOL_BACKEND)),
+        ("logpdf_fused", active_override("logpdf_fused", _chol.LOGPDF_FUSED)),
+    )

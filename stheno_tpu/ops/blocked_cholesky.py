@@ -38,20 +38,36 @@ _PREC = lax.Precision.HIGH
 
 
 def set_gemm_precision(p):
-    """Set the MXU precision for all blocked-Cholesky/TRSM GEMMs.
+    """Set the process-wide default MXU precision for all blocked-Cholesky/
+    TRSM GEMMs.
 
     `p`: a `lax.Precision` or one of 'highest' | 'high'.  Returns the
     previous value.  Callers re-jit after changing this (it is trace-time
     state, like config flags).
+
+    DEPRECATED in favour of the scoped, thread-local
+    ``with stheno_tpu.config.gemm_precision(p): ...`` which cannot leak.
     """
     global _PREC
+    if p is None:
+        raise ValueError(
+            "set_gemm_precision(None) is invalid (a forward precision is"
+            " always required); use set_bwd_precision(None) to make the"
+            " backward follow the forward"
+        )
     prev = _PREC
     _PREC = lax.Precision[p.upper()] if isinstance(p, str) else p
     return prev
 
 
+def _active_prec():
+    from stheno_tpu import config as _cfg
+
+    return _cfg.active_override("gemm_precision", _PREC)
+
+
 def _mm(a, b):
-    return jnp.matmul(a, b, precision=_PREC)
+    return jnp.matmul(a, b, precision=_active_prec())
 
 
 # Base-case factoriser for blocks ≤ `base`.  Default: XLA's built-in.  The
@@ -63,11 +79,18 @@ _BASE_CHOL = lax.linalg.cholesky
 
 def set_base_cholesky(fn):
     """Swap the base-case factoriser (trace-time state; re-jit after).
-    Returns the previous one."""
+    Returns the previous one.  DEPRECATED: prefer the scoped
+    ``with stheno_tpu.config.scoped(base_cholesky=fn): ...``."""
     global _BASE_CHOL
     prev = _BASE_CHOL
     _BASE_CHOL = fn
     return prev
+
+
+def _active_base_chol():
+    from stheno_tpu import config as _cfg
+
+    return _cfg.active_override("base_cholesky", _BASE_CHOL)
 
 
 def _tri_inv_lower_xla(L):
@@ -85,7 +108,8 @@ _BASE_TRI_INV = _tri_inv_lower_xla
 
 def set_base_tri_inv(fn):
     """Swap the base-case triangular inverse (trace-time state; re-jit
-    after).  Returns the previous one."""
+    after).  Returns the previous one.  DEPRECATED: prefer the scoped
+    ``with stheno_tpu.config.scoped(base_tri_inv=fn): ...``."""
     global _BASE_TRI_INV
     prev = _BASE_TRI_INV
     _BASE_TRI_INV = fn
@@ -93,7 +117,9 @@ def set_base_tri_inv(fn):
 
 
 def _tri_inv_lower(L):
-    return _BASE_TRI_INV(L)
+    from stheno_tpu import config as _cfg
+
+    return _cfg.active_override("base_tri_inv", _BASE_TRI_INV)(L)
 
 
 import functools
@@ -118,7 +144,7 @@ def blocked_cholesky(A, block=1024, base=256):
 def _blocked_cholesky_impl(A, block=1024, base=256):
     n = A.shape[-1]
     if n <= base:
-        return _BASE_CHOL(A)
+        return _active_base_chol()(A)
     # panel width: ≤ n/2 (so recursion strictly shrinks), multiple of 64 for
     # clean MXU tiling
     B = (min(block, n // 2) // 64) * 64
@@ -217,8 +243,9 @@ _BWD_BLOCK = 4096
 
 
 def set_bwd_params(base=None, via_inv=None, mode=None, block=None):
-    """Tune the custom-VJP backward (returns previous
-    (base, via_inv, mode, block))."""
+    """Tune the process-wide default custom-VJP backward (returns previous
+    (base, via_inv, mode, block)).  DEPRECATED: prefer the scoped
+    ``with stheno_tpu.config.bwd_params(...): ...``."""
     global _BWD_BASE, _BWD_VIA_INV, _BWD_MODE, _BWD_BLOCK
     prev = (_BWD_BASE, _BWD_VIA_INV, _BWD_MODE, _BWD_BLOCK)
     if base is not None:
@@ -230,6 +257,18 @@ def set_bwd_params(base=None, via_inv=None, mode=None, block=None):
     if block is not None:
         _BWD_BLOCK = block
     return prev
+
+
+def _active_bwd_params():
+    """(base, via_inv, mode, block) with scoped overrides applied."""
+    from stheno_tpu import config as _cfg
+
+    return (
+        _cfg.active_override("bwd_base", _BWD_BASE),
+        _cfg.active_override("bwd_via_inv", _BWD_VIA_INV),
+        _cfg.active_override("bwd_mode", _BWD_MODE),
+        _cfg.active_override("bwd_block", _BWD_BLOCK),
+    )
 
 
 def _chol_bwd_rec(L, L_bar, base):
@@ -261,7 +300,8 @@ def _chol_bwd_rec(L, L_bar, base):
     #   K̄21 = L̄21 L11⁻¹   (right-solve, blocked: GEMMs + small TRSMs)
     #   L̄11 += −K̄21ᵀ L21
     K21_bar = blocked_solve_upper_T(
-        L11, Lb21_eff.T, block=max(base, h // 4), via_inv=_BWD_VIA_INV
+        L11, Lb21_eff.T, block=max(base, h // 4),
+        via_inv=_active_bwd_params()[1],
     ).T
     Lb11_eff = Lb11 - _mm(K21_bar.T, L21)
 
@@ -314,12 +354,78 @@ def _chol_bwd_iter(L, L_bar, block, base):
             Lb21_eff = Lb21 - 2.0 * _mm(S_trail, L21)
             # reverse of L21 = K21 L11⁻ᵀ:  K̄21 = L̄21 L11⁻¹ (raw convention)
             A21_bar = blocked_solve_upper_T(
-                L11, Lb21_eff.T, block=max(base, B // 4), via_inv=_BWD_VIA_INV
+                L11, Lb21_eff.T, block=max(base, B // 4),
+                via_inv=_active_bwd_params()[1],
             ).T
             Lb11_eff = Lb11 - _mm(A21_bar.T, L21)
         else:
             Lb11_eff = Lb11
         S11_raw = _chol_bwd_rec(L11, Lb11_eff, base)
+        S11 = 0.5 * (S11_raw + S11_raw.T)
+        if m > 0:
+            # symmetric convention halves the off-diagonal raw gradient
+            top = jnp.concatenate([S11, 0.5 * A21_bar.T], axis=1)
+            bot = jnp.concatenate([0.5 * A21_bar, S_trail], axis=1)
+            S_trail = jnp.concatenate([top, bot], axis=0)
+        else:
+            S_trail = S11
+    return S_trail
+
+
+def _chol_bwd_fused(L, L_bar, block, base):
+    """Fused panel-sweep reverse rule; returns the SYMMETRIC gradient.
+
+    Same sweep as `_chol_bwd_iter` but with the per-panel sequential blocked
+    solve eliminated (round-3 closing analysis, BASELINE.md: the iter mode's
+    `blocked_solve_upper_T` + `K̄21ᵀL21` terms ran the backward at ~55-70%
+    of MXU peak vs the forward's ~94%).  Two algebraic fusions:
+
+    1. The `K̄21ᵀ L21` correction to L̄11 collapses *inside* the Φ argument:
+       with K̄21 = L̄21_eff L11⁻¹,
+
+           L11ᵀ (K̄21ᵀ L21) = L11ᵀ L11⁻ᵀ L̄21_effᵀ L21 = L̄21_effᵀ L21,
+
+       so Φ(L11ᵀ L̄11_eff) = Φ(L11ᵀ L̄11 − L̄21_effᵀ L21) — one B×m@m×B
+       GEMM instead of forming K̄21ᵀL21 after the solve.
+    2. The panel reverse's closed form S11_raw = L11⁻ᵀ Φ(·) L11⁻¹ and the
+       cotangent solve K̄21 = L̄21_eff L11⁻¹ share the right-factor L11⁻¹:
+       stacking [L11⁻ᵀΦ(·); L̄21_eff] gives ONE (B+m)-tall GEMM against the
+       precomputed blocked triangular inverse — a dense MXU matmul in place
+       of the sequential substitution.
+
+    Per-panel multiply-adds: m²B (trailing GEMM, unchanged) + mB² (fusion 1)
+    + (m+B)B² (fusion 2) + ~2.3B³ (B×B GEMMs + inverse); totals ≈1.65e12 at
+    n=16k/B=1024 vs iter@4096's ≈1.9e12 — and every op is a large
+    static-shape GEMM.
+    """
+    n = L.shape[-1]
+    B = (min(block, n) // 64) * 64
+    if B == 0 or n % B != 0 or n <= B:
+        K_raw = _chol_bwd_rec(L, L_bar, base)
+        return 0.5 * (K_raw + K_raw.T)
+    nb = n // B
+    # trailing gradient assembled by concatenation, not dynamic_update_slice
+    # (same HBM-aliasing argument as _chol_bwd_iter)
+    S_trail = None
+    for kb in reversed(range(nb)):
+        c = kb * B
+        m = n - c - B
+        L11 = L[c : c + B, c : c + B]
+        Lb11 = L_bar[c : c + B, c : c + B]
+        L11inv = blocked_tri_inv_lower(L11, base=base)
+        G = _mm(L11.T, Lb11)
+        if m > 0:
+            L21 = L[c + B :, c : c + B]
+            Lb21 = L_bar[c + B :, c : c + B]
+            # reverse of the Schur update K22 ← K22 − L21 L21ᵀ
+            Lb21_eff = Lb21 - 2.0 * _mm(S_trail, L21)
+            G = G - _mm(Lb21_eff.T, L21)  # fusion 1
+        W = _mm(L11inv.T, _phi(G))
+        if m > 0:
+            ZG = _mm(jnp.concatenate([W, Lb21_eff], axis=0), L11inv)  # fusion 2
+            S11_raw, A21_bar = ZG[:B], ZG[B:]
+        else:
+            S11_raw = _mm(W, L11inv)
         S11 = 0.5 * (S11_raw + S11_raw.T)
         if m > 0:
             # symmetric convention halves the off-diagonal raw gradient
@@ -342,9 +448,11 @@ _BWD_PREC = None
 
 
 def set_bwd_precision(p):
-    """Set the backward-pass GEMM precision ('default'|'high'|'highest'|
-    a lax.Precision|None to follow the forward).  Trace-time state;
-    returns the previous value."""
+    """Set the process-wide default backward-pass GEMM precision
+    ('default'|'high'|'highest'| a lax.Precision|None to follow the
+    forward).  Trace-time state; returns the previous value.
+    DEPRECATED: prefer the scoped
+    ``with stheno_tpu.config.bwd_precision(p): ...``."""
     global _BWD_PREC
     prev = _BWD_PREC
     if isinstance(p, str):
@@ -353,25 +461,37 @@ def set_bwd_precision(p):
     return prev
 
 
+def _active_bwd_prec():
+    from stheno_tpu import config as _cfg
+
+    return _cfg.active_override("bwd_precision", _BWD_PREC)
+
+
 def _blocked_cholesky_bwd(block, base, L, L_bar):
     """Blocked reverse rule; returns the symmetrised gradient (upstream K is
     symmetric, so only sym(K̄) matters — cholesky_psd symmetrises anyway)."""
+    from stheno_tpu import config as _cfg
+
     # the output's strict upper triangle is structurally zero: ignore any
     # cotangent that lands there
-    eff_base = max(base, _BWD_BASE)
+    bwd_base, _, mode, bwd_block = _active_bwd_params()
+    # the backward recursion cutoff is its own knob, independent of the
+    # forward's base: fwd base=1024 (lax-direct diagonal, −3 ms measured
+    # round 4) + bwd base=256 (rec cutoff; 1024 measured slower in the
+    # round-3 ladder) is the best combination
+    eff_base = bwd_base
     # scope the backward-precision override over this trace (the whole
     # reverse rule, including its internal blocked solves, traces inside
-    # this Python call — trace-time global swap is exact scoping)
-    prev = set_gemm_precision(_BWD_PREC) if _BWD_PREC is not None else None
-    try:
-        if _BWD_MODE == "iter":
-            out = _chol_bwd_iter(L, jnp.tril(L_bar), _BWD_BLOCK, eff_base)
+    # this Python call, so a thread-local scoped override is exact scoping)
+    bp = _active_bwd_prec()
+    with _cfg.scoped(**({"gemm_precision": bp} if bp is not None else {})):
+        if mode == "fused":
+            out = _chol_bwd_fused(L, jnp.tril(L_bar), bwd_block, eff_base)
+        elif mode == "iter":
+            out = _chol_bwd_iter(L, jnp.tril(L_bar), bwd_block, eff_base)
         else:
             K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=eff_base)
             out = 0.5 * (K_raw + K_raw.T)
-    finally:
-        if prev is not None:
-            set_gemm_precision(prev)
     return (out,)
 
 
@@ -531,20 +651,83 @@ def _bsut_bwd(block, via_inv, res, g):
 _bsut_vjp.defvjp(_bsut_fwd, _bsut_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Ragged-N padding
+# ---------------------------------------------------------------------------
+# The blocked kernels require N divisible by the panel width; historically a
+# ragged N silently fell back to the un-blocked lax path (~4× slower at
+# N≈16k, plus its autodiff backward — VERDICT r3 weak-item 4).  Instead,
+# identity-extend to the next panel multiple and slice the result back:
+#
+#     chol([[A, 0], [0, I]]) = [[chol(A), 0], [0, I]]
+#     [[L, 0], [0, I]] [x; xp] = [b; 0]  ⇒  x = L⁻¹b, xp = 0
+#
+# The pad/slice wrappers live OUTSIDE the custom-VJP functions, so autodiff
+# through them is the native (exact) concat/slice transpose and the custom
+# reverse rules always see panel-divisible shapes.
+
+
+def _padded_n(n, block):
+    """Next multiple of `block` at or above n (only called when n > block)."""
+    return -(-n // block) * block
+
+
+def _pad_identity(A, np_):
+    """[[A, 0], [0, I]] of size np_."""
+    n = A.shape[-1]
+    p = np_ - n
+    z = jnp.zeros((n, p), A.dtype)
+    eye = jnp.eye(p, dtype=A.dtype)
+    top = jnp.concatenate([A, z], axis=1)
+    bot = jnp.concatenate([z.T, eye], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _pad_rows(b, np_):
+    n = b.shape[0]
+    pad = [(0, np_ - n)] + [(0, 0)] * (b.ndim - 1)
+    return jnp.pad(b, pad)
+
+
+def cholesky_blocked_padded(A, block=1024, base=256):
+    """`blocked_cholesky` for ANY n: ragged sizes above `block` are
+    identity-padded to the next panel multiple (never the silent lax
+    fallback); sizes ≤ `block` go straight through (the base/lax small-case
+    path is already cheap there)."""
+    n = A.shape[-1]
+    if n > block and n % block != 0:
+        np_ = _padded_n(n, block)
+        Lp = blocked_cholesky(_pad_identity(A, np_), block, base)
+        return Lp[:n, :n]
+    return blocked_cholesky(A, block, base)
+
+
 def blocked_solve_lower(L, b, block=1024):
     """Solve L x = b (blocked forward substitution) with the closed-form
-    O(N²) adjoint above.
+    O(N²) adjoint above.  Ragged n > block is identity-padded to the next
+    block multiple (see module note), never the sequential lax fallback.
 
     Reverse-mode only: the ``jax.custom_vjp`` wrapper makes ``jvp``/
     ``jacfwd``/forward-over-reverse HVPs raise.  Use
     ``_blocked_solve_lower_impl`` directly if you need forward-mode and can
     accept the (memory-bound) autodiff-through-loop derivatives."""
+    n = L.shape[-1]
+    if n > block and n % block != 0:
+        np_ = _padded_n(n, block)
+        x = _bsl_vjp(_pad_identity(L, np_), _pad_rows(b, np_), block)
+        return x[:n]
     return _bsl_vjp(L, b, block)
 
 
 def blocked_solve_upper_T(L, b, block=1024, via_inv=False):
     """Solve Lᵀ x = b (blocked backward substitution, L lower) with the
-    closed-form O(N²) adjoint above.
+    closed-form O(N²) adjoint above.  Ragged n > block is identity-padded
+    (see `blocked_solve_lower`).
 
     Reverse-mode only (see `blocked_solve_lower`)."""
+    n = L.shape[-1]
+    if n > block and n % block != 0:
+        np_ = _padded_n(n, block)
+        x = _bsut_vjp(_pad_identity(L, np_), _pad_rows(b, np_), block, via_inv)
+        return x[:n]
     return _bsut_vjp(L, b, block, via_inv)

@@ -40,9 +40,12 @@ _BLOCKED_MIN_N = 4096
 
 
 def _use_blocked(K):
-    if CHOL_BACKEND == "blocked":
+    from stheno_tpu import config as _cfg
+
+    backend = _cfg.active_override("chol_backend", CHOL_BACKEND)
+    if backend == "blocked":
         return K.ndim == 2
-    if CHOL_BACKEND == "lax":
+    if backend == "lax":
         return False
     return (
         K.ndim == 2
@@ -63,12 +66,16 @@ def cholesky_psd(K, jitter=None):
     if jitter is not None:
         K = add_jitter(K, jnp.asarray(jitter, dtype=K.dtype))
     if _use_blocked(K):
-        from stheno_tpu.ops.blocked_cholesky import blocked_cholesky
+        from stheno_tpu.ops.blocked_cholesky import cholesky_blocked_padded
 
         # block=1024 measured fastest at N=16k on v5e (67.6 ms vs 73.7 @2048,
         # 90.5 @4096 — scripts/perf_probe.py): panels stay VMEM-resident
-        # while the trailing GEMM still saturates the MXU.
-        return blocked_cholesky(K, block=1024, base=256)
+        # while the trailing GEMM still saturates the MXU.  base=1024 (the
+        # whole diagonal block via lax, no inner recursion) measured 64.7 vs
+        # 67.6 ms same-window (round 4); the backward keeps its own 256
+        # cutoff.  Ragged N is identity-padded to the next panel multiple
+        # (no silent lax cliff).
+        return cholesky_blocked_padded(K, block=1024, base=1024)
     return lax.linalg.cholesky(K)
 
 
@@ -165,9 +172,9 @@ def _mvn_logpdf_fused(K, diff):
 
 def _chol_dispatch(K):
     if _use_blocked(K):
-        from stheno_tpu.ops.blocked_cholesky import _blocked_cholesky_impl
+        from stheno_tpu.ops.blocked_cholesky import cholesky_blocked_padded
 
-        return _blocked_cholesky_impl(K, 1024, 256)
+        return cholesky_blocked_padded(K, 1024, 1024)
     return lax.linalg.cholesky(K)
 
 
@@ -210,8 +217,11 @@ def mvn_logpdf_psd(y, mean, K_sig):
     """log N(y; mean, K_sig) straight from the (possibly unsymmetrised)
     covariance.  Routes single-vector large-N cases to the fused custom-VJP
     path; everything else through `cholesky_psd` + `mvn_logpdf_chol`."""
-    fused = LOGPDF_FUSED == "on" or (
-        LOGPDF_FUSED == "auto" and _use_blocked(K_sig)
+    from stheno_tpu import config as _cfg
+
+    fused_mode = _cfg.active_override("logpdf_fused", LOGPDF_FUSED)
+    fused = fused_mode == "on" or (
+        fused_mode == "auto" and _use_blocked(K_sig)
     )
     if fused and y.ndim == mean.ndim == 1:
         return _mvn_logpdf_fused(symmetrize(K_sig), y - mean)

@@ -132,6 +132,13 @@ def test_blocked_cholesky_custom_vjp_random_cotangent(rng):
         (256, False, "iter", 512),
         (512, True, "iter", 448),
         (256, True, "iter", 1024),
+        # fused panel sweep (solve-free backward): several panel widths
+        # incl. non-dividing (fallback to rec) and full-size (single panel)
+        (256, True, "fused", 256),
+        (256, True, "fused", 512),
+        (512, True, "fused", 448),
+        (128, True, "fused", 128),
+        (256, True, "fused", 1024),
     ],
 )
 def test_blocked_cholesky_bwd_knob_configs(rng, bwd_base, via_inv, mode, bwd_block):
@@ -154,6 +161,68 @@ def test_blocked_cholesky_bwd_knob_configs(rng, bwd_base, via_inv, mode, bwd_blo
     gb_s = 0.5 * (gb + gb.T)
     gl_s = 0.5 * (gl + gl.T)
     np.testing.assert_allclose(np.asarray(gb_s), np.asarray(gl_s), atol=2e-8 * n)
+
+
+def _collect_primitive_shapes(jaxpr, name, out):
+    """All input shapes of `name` eqns, recursing into sub-jaxprs."""
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            out.append(eqn.invars[0].aval.shape)
+        for v in eqn.params.values():
+            sub = getattr(v, "jaxpr", v)
+            if hasattr(sub, "eqns"):
+                _collect_primitive_shapes(sub, name, out)
+            elif isinstance(v, (list, tuple)):
+                for w in v:
+                    sw = getattr(w, "jaxpr", w)
+                    if hasattr(sw, "eqns"):
+                        _collect_primitive_shapes(sw, name, out)
+
+
+@pytest.mark.parametrize("n", [1500, 2100])
+def test_ragged_n_routes_blocked_with_padding(rng, n):
+    """A ragged N above the panel width must ride the blocked path via
+    identity padding — NOT silently fall back to the un-blocked lax
+    Cholesky (VERDICT r3 weak-item 4).  Checked structurally (no full-size
+    `cholesky` primitive in the jaxpr; base cases ≤256 only) and
+    numerically (factor + logpdf grads match the dense oracle)."""
+    import scipy.linalg
+
+    from stheno_tpu import config as cfg
+    from stheno_tpu.ops import chol as C
+
+    K = _psd(rng, n)
+    with cfg.chol_backend("blocked"):
+        # structural: every cholesky primitive in the traced graph is a
+        # base case (≤ the 1024 panel), never the full ragged size —
+        # i.e. the blocked path was taken via padding, not the lax fallback
+        jaxpr = jax.make_jaxpr(lambda A: C.cholesky_psd(A, 1e-9))(K)
+        shapes = []
+        _collect_primitive_shapes(jaxpr.jaxpr, "cholesky", shapes)
+        assert shapes, "expected base-case cholesky primitives"
+        assert all(s[-1] <= 1024 for s in shapes), shapes
+
+        L = C.cholesky_psd(K, 1e-9)
+        L_ref = scipy.linalg.cholesky(np.asarray(K) + 1e-9 * np.eye(n),
+                                      lower=True)
+        np.testing.assert_allclose(np.asarray(L), L_ref, atol=1e-8)
+
+        # solves at ragged n (forward + closed-form adjoints) vs oracle
+        b = jnp.asarray(rng.normal(size=(n,)))
+        x = C.solve_lower(L, b)
+        np.testing.assert_allclose(
+            np.asarray(x), scipy.linalg.solve_triangular(L_ref, b, lower=True),
+            atol=1e-8)
+        y = jnp.asarray(rng.normal(size=(n,)))
+
+        def lp(A):
+            return C.mvn_logpdf_chol(y, jnp.zeros_like(y), C.cholesky_psd(A, 1e-9))
+
+        g_blocked = jax.grad(lp)(K)
+    with cfg.chol_backend("lax"):
+        g_lax = jax.grad(lp)(K)
+    np.testing.assert_allclose(np.asarray(g_blocked), np.asarray(g_lax),
+                               atol=1e-8)
 
 
 def test_pallas_chol_block_and_tri_inv(rng):
