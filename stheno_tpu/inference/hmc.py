@@ -530,9 +530,11 @@ def _make_warm_body(step_fn, target_accept, d, dt):
 
 
 def _is_traced(x):
-    return isinstance(x, jax.core.Tracer) or (
-        isinstance(x, jnp.ndarray) and not isinstance(x, (int,))
-    )
+    # Only genuine tracers select the (start, LENGTH) segment semantics; a
+    # concrete jax.Array scalar behaves like a plain int — (start, stop) —
+    # so the meaning of `segment` never flips on int-vs-array type
+    # (ADVICE.md round 3).
+    return isinstance(x, jax.core.Tracer)
 
 
 def nuts_warmup(
@@ -556,7 +558,11 @@ def nuts_warmup(
     a > 0), and returns the updated `WarmupState`.  Inside `jit`, `a` may
     be a traced scalar — the second element is then the static segment
     LENGTH, ``segment=(start, n)`` — so equal-length segments share one
-    compiled program.  Given the SAME
+    compiled program.  A traced-start segment that overshoots the schedule
+    (start + n > num_warmup) runs the out-of-range iterations as no-ops,
+    so a warmup length that does not divide the segment length is safe
+    (the final short segment may simply be issued at full length).
+    Given the SAME
     top-level `key` (the one you will also pass to `run_nuts`), any
     segmentation — including none — produces bit-identical adaptation to
     `run_nuts`'s internal warmup: per-iteration keys are the [a, b) slice
@@ -620,18 +626,33 @@ def nuts_warmup(
             q0, logp0, grad0, _da_init(eps0), _welford_init(d, dt), inv_mass0
         )
 
+    def masked_body(carry, xs):
+        # Iterations with index ≥ num_warmup are no-ops: a traced-start
+        # segment whose window overshoots the schedule (start + length >
+        # num_warmup) must NOT run extra, misaligned warmup iterations
+        # (ADVICE.md round 3 — dynamic_slice clamping silently shifted the
+        # window schedule while the fold_in keys kept advancing).  For
+        # in-range iterations `where(valid=True, new, old) = new` exactly,
+        # so bit-exact segmented≡fused equivalence is preserved.
+        k, in_w, w_end, valid = xs
+        new_carry, _ = warm_body(carry, (k, in_w, w_end))
+        carry = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(valid, n, o), new_carry, carry
+        )
+        return carry, None
+
     def chain_segment(chain_key, st):
         _, _, k_warm, _ = jax.random.split(chain_key, 4)
         idx = jnp.asarray(a, jnp.int32) + jnp.arange(num_steps, dtype=jnp.int32)
-        warm_keys = jax.vmap(lambda i: jax.random.fold_in(k_warm, i))(idx)
-        in_w = lax.dynamic_slice(
-            in_window, (jnp.asarray(a, jnp.int32),), (num_steps,)
-        )
-        w_end = lax.dynamic_slice(
-            window_end, (jnp.asarray(a, jnp.int32),), (num_steps,)
-        )
+        valid = idx < num_warmup
+        idx_c = jnp.minimum(idx, num_warmup - 1)
+        warm_keys = jax.vmap(lambda i: jax.random.fold_in(k_warm, i))(idx_c)
+        in_w = jnp.take(in_window, idx_c)
+        w_end = jnp.take(window_end, idx_c)
         carry = (st.q, st.logp, st.grad, st.da, st.wf, st.inv_mass)
-        carry, _ = lax.scan(warm_body, carry, (warm_keys, in_w, w_end))
+        carry, _ = lax.scan(
+            masked_body, carry, (warm_keys, in_w, w_end, valid)
+        )
         return WarmupState(*carry)
 
     if (not _is_traced(a)) and int(a) == 0:

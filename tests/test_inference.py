@@ -397,3 +397,57 @@ def test_segmented_warmup_traced_start(key):
         resume_state=warmup_result(state),
     )
     np.testing.assert_array_equal(np.asarray(s2), np.asarray(full))
+
+
+def test_segmented_warmup_overshoot_and_concrete_array_start(key):
+    """(a) A traced-start segment whose window overshoots num_warmup runs
+    the out-of-range iterations as no-ops — a segment length that does not
+    divide num_warmup still reproduces the fused warmup bit-for-bit
+    (ADVICE.md round 3, medium).  (b) A CONCRETE jax.Array start behaves
+    exactly like a plain int — (start, stop) semantics, not (start, len)."""
+    from stheno_tpu.inference import nuts_warmup, run_nuts, warmup_result
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2)
+
+    W, S, C, SEG = 50, 20, 2, 20  # 50 % 20 != 0 → last segment overshoots
+    full, _ = run_nuts(
+        key, logp, jnp.zeros(2), num_warmup=W, num_samples=S, num_chains=C
+    )
+    st = nuts_warmup(
+        key, logp, jnp.zeros(2), num_warmup=W, num_chains=C, segment=(0, SEG)
+    )
+
+    @jax.jit
+    def later(start, state):
+        return nuts_warmup(
+            key, logp, jnp.zeros(2), num_warmup=W, num_chains=C,
+            segment=(start, SEG), state=state,
+        )
+
+    for a in range(SEG, W, SEG):  # 20, 40 — the 40 segment overshoots to 60
+        st = later(jnp.asarray(a, jnp.int32), st)
+    s2, _ = run_nuts(
+        key, logp, jnp.zeros(2), num_samples=S, num_chains=C,
+        resume_state=warmup_result(st),
+    )
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(full))
+
+    # (b) concrete array start == plain int start, (start, stop) semantics
+    sta = nuts_warmup(
+        key, logp, jnp.zeros(2), num_warmup=W, num_chains=C, segment=(0, 30)
+    )
+    stb_int = nuts_warmup(
+        key, logp, jnp.zeros(2), num_warmup=W, num_chains=C,
+        segment=(30, W), state=sta,
+    )
+    stb_arr = nuts_warmup(
+        key, logp, jnp.zeros(2), num_warmup=W, num_chains=C,
+        segment=(jnp.asarray(30), jnp.asarray(W)), state=sta,
+    )
+    np.testing.assert_array_equal(np.asarray(stb_int.q), np.asarray(stb_arr.q))
+    s3, _ = run_nuts(
+        key, logp, jnp.zeros(2), num_samples=S, num_chains=C,
+        resume_state=warmup_result(stb_arr),
+    )
+    np.testing.assert_array_equal(np.asarray(s3), np.asarray(full))
