@@ -94,30 +94,67 @@ def main():
         warmup_result,
     )
 
+    # fixed relay/dispatch/host-pull overhead per jitted call (bench.py
+    # discipline, VERDICT r3 item 4): measured around the run; the
+    # overhead-subtracted device estimate divides ESS by
+    # (wall − n_calls × null) so segmentation overhead does not masquerade
+    # as device cost.
+    @jax.jit
+    def _null(i):
+        return jnp.sum(x[:8]) + i * 1e-7
+
+    def null_probe(label):
+        float(_null(0))
+        t0 = time.time()
+        for i in range(1, 7):
+            float(_null(i))
+        s = (time.time() - t0) / 6
+        log(f"null({label}): {s * 1e3:.1f} ms")
+        return s
+
     if args.segment <= 0:
+        # warmup and sampling in SEPARATE jits (bit-identical draws to the
+        # fused run by the resume design) so ESS/s is sampling-only here
+        # exactly like the segmented path (ADVICE.md r3: the two modes'
+        # ess_per_s were not comparable).
+        warm_j = jax.jit(
+            lambda key: warmup_result(
+                nuts_warmup(
+                    key, logdensity, theta0, num_warmup=args.warmup,
+                    num_chains=args.chains, max_depth=args.max_depth,
+                )
+            )
+        )
+
         @jax.jit
-        def run(key):
+        def sample_j(key, state):
             return run_nuts(
-                key,
-                logdensity,
-                theta0,
-                num_warmup=args.warmup,
-                num_samples=args.samples,
-                num_chains=args.chains,
-                max_depth=args.max_depth,
+                key, logdensity, theta0, num_samples=args.samples,
+                num_chains=args.chains, max_depth=args.max_depth,
+                resume_state=state,
             )
 
-        t0 = time.time()
-        samples, info = run(jax.random.PRNGKey(1))
-        s_host = np.asarray(samples)
-        log(f"compile+first: {time.time()-t0:.1f}s")
+        def full_run(key):
+            t0 = time.time()
+            state = warm_j(key)
+            float(jnp.sum(state.q))  # host pull: forces the warmup call
+            t_warm = time.time() - t0
+            t0 = time.time()
+            samples, info = sample_j(key, state)
+            s_host = np.asarray(samples)  # full host pull forces everything
+            dt = time.time() - t0
+            return s_host, np.asarray(info.diverging), dt, t_warm
 
         t0 = time.time()
-        samples, info = run(jax.random.PRNGKey(2))
-        s_host = np.asarray(samples)  # full host pull forces everything
-        div = float(np.asarray(info.diverging).mean())
-        dt = time.time() - t0
-        log(f"steady: {dt:.1f}s")
+        full_run(jax.random.PRNGKey(1))
+        log(f"compile+first: {time.time()-t0:.1f}s")
+
+        null_s = null_probe("before")
+        s_host, div_a, dt, t_warm = full_run(jax.random.PRNGKey(2))
+        null_s = 0.5 * (null_s + null_probe("after"))
+        div = float(div_a.mean())
+        n_sample_calls = 1
+        log(f"steady: sampling {dt:.1f}s (+ warmup {t_warm:.1f}s, excluded)")
     else:
         S = args.segment
 
@@ -144,14 +181,19 @@ def main():
             )
 
         def warm(key):
+            # an overshooting final segment is safe: out-of-range warmup
+            # iterations are masked no-ops (bit-exact vs the fused run),
+            # so WSEG need not divide args.warmup
             state = first(key)
-            jax.block_until_ready(state.q)
+            float(jnp.sum(state.q))  # host pull: forces the segment
             a = min(WSEG, args.warmup)
+            n_calls = 1
             while a < args.warmup:
                 state = later(key, jnp.asarray(a, jnp.int32), state)
-                jax.block_until_ready(state.q)
+                float(jnp.sum(state.q))
                 a += WSEG
-            return warmup_result(state)
+                n_calls += 1
+            return warmup_result(state), n_calls
 
         def seg(key, state, off):
             return run_nuts(
@@ -162,36 +204,39 @@ def main():
 
         seg_j = jax.jit(seg)  # offset traced: one compile for all segments
 
-        def full_run(key, time_sampling_only=False):
+        def full_run(key):
             t0 = time.time()
-            state = warm(key)
-            jax.block_until_ready(state.q)
+            state, n_warm_calls = warm(key)
             t_warm = time.time() - t0
             chunks, infos = [], []
             t0 = time.time()
             off = 0
+            n_calls = 0
             while off < args.samples:
                 smp, inf, state = seg_j(key, state, jnp.asarray(off, jnp.int32))
                 chunks.append(np.asarray(smp))  # host pull forces segment
                 infos.append(np.asarray(inf.diverging))
                 off += S
+                n_calls += 1
             dt = time.time() - t0
             return (
                 np.concatenate(chunks, axis=1)[:, : args.samples],
                 np.concatenate(infos, axis=1)[:, : args.samples],
                 dt,
                 t_warm,
+                n_calls,
             )
 
         t0 = time.time()
-        s_host, div_a, dt, t_warm = full_run(jax.random.PRNGKey(1))
-        log(f"compile+first full pass: {time.time()-t0:.1f}s "
-            f"(warmup segment {t_warm:.1f}s)")
-        s_host, div_a, dt, t_warm = full_run(jax.random.PRNGKey(2))
+        full_run(jax.random.PRNGKey(1))
+        log(f"compile+first full pass: {time.time()-t0:.1f}s")
+        null_s = null_probe("before")
+        s_host, div_a, dt, t_warm, n_sample_calls = full_run(
+            jax.random.PRNGKey(2))
+        null_s = 0.5 * (null_s + null_probe("after"))
         div = float(div_a.mean())
-        log(f"steady sampling: {dt:.1f}s in segments of {S} "
-            f"(+ warmup {t_warm:.1f}s, excluded from ESS/s like the "
-            f"one-jit path excludes nothing — see note)")
+        log(f"steady sampling: {dt:.1f}s in {n_sample_calls} segments of "
+            f"{S} (+ warmup {t_warm:.1f}s, excluded)")
 
     names = ["v", "l", "noise"]
     flat = jnp.asarray(np.asarray(s_host))
@@ -208,6 +253,11 @@ def main():
         rhat_max = max(rhat_max, rhat)
         log(f"  {nm:6s} ess={ess:8.1f}  rhat={rhat:.4f}")
     draws_per_s = args.chains * args.samples / dt
+    # overhead-subtracted device estimate: each jitted sampling call pays
+    # the fixed relay/dispatch/host-pull overhead the null probe measures;
+    # the device numbers are the per-chip rates the north star names.
+    overhead_s = n_sample_calls * null_s
+    device_s = max(dt - overhead_s, 1e-6)
     out = {
         "metric": f"nuts_ess_per_s_N{N}",
         "n": N,
@@ -215,11 +265,18 @@ def main():
         "samples": args.samples,
         "warmup": args.warmup,
         "steady_s": round(dt, 2),
-        "warmup_s_excluded": (round(t_warm, 2) if args.segment > 0 else None),
+        "warmup_s_excluded": round(t_warm, 2),
         "timing": ("sampling-only, segmented" if args.segment > 0
-                   else "warmup+sampling, one jit"),
+                   else "sampling-only, one jit (warmup in its own jit)"),
         "ess_per_s": round(ess_total / dt, 1),
         "draws_per_s": round(draws_per_s, 1),
+        "null_ms": round(null_s * 1e3, 1),
+        "n_sampling_calls": n_sample_calls,
+        "sampling_overhead_s": round(overhead_s, 2),
+        "overhead_share": round(overhead_s / dt, 3),
+        "device_s_est": round(device_s, 2),
+        "ess_per_s_device": round(ess_total / device_s, 1),
+        "draws_per_s_device": round(args.chains * args.samples / device_s, 1),
         "rhat_max": round(rhat_max, 4),
         "divergence_rate": round(div, 4),
     }
