@@ -127,10 +127,17 @@ import functools
 import jax
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def blocked_cholesky(A, block=1024, base=256):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def blocked_cholesky(A, block=1024, base=256, sym=False):
     """Lower Cholesky factor of PSD `A` (N×N, N a multiple of `base` ideally;
     any N works — falls back to lax for the ragged tail).
+
+    `sym=True` factors 0.5·(A + Aᵀ) with the symmetrisation folded into the
+    per-panel reads (each panel reads its mirror slab instead of a
+    pre-materialised symmetric matrix) — saves the ~3·N² words of HBM
+    traffic an explicit `symmetrize` pass costs at large N, and the
+    backward is unchanged (the reverse rule already returns a symmetric
+    gradient, which IS the correct pullback through 0.5·(A + Aᵀ)).
 
     Carries a custom VJP (the closed-form Cholesky reverse rule, Murray 2016)
     expressed with the *blocked* triangular solves below: the backward pass is
@@ -138,18 +145,22 @@ def blocked_cholesky(A, block=1024, base=256):
     panel — ~order-of-magnitude smaller graph and backward FLOPs that match
     lax's rule while keeping the fast forward.
     """
-    return _blocked_cholesky_impl(A, block, base)
+    return _blocked_cholesky_impl(A, block, base, sym)
 
 
-def _blocked_cholesky_impl(A, block=1024, base=256):
+def _blocked_cholesky_impl(A, block=1024, base=256, sym=False):
     n = A.shape[-1]
     if n <= base:
+        if sym:
+            A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
         return _active_base_chol()(A)
     # panel width: ≤ n/2 (so recursion strictly shrinks), multiple of 64 for
     # clean MXU tiling
     B = (min(block, n // 2) // 64) * 64
     if B == 0 or n % B != 0:
         # ragged: fall back (callers pad to MXU-friendly sizes for speed)
+        if sym:
+            A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
         return lax.linalg.cholesky(A)
 
     nb = n // B
@@ -158,11 +169,15 @@ def _blocked_cholesky_impl(A, block=1024, base=256):
         c = kb * B
         # left-looking update of the current panel using finished columns
         A_panel = lax.dynamic_slice(A, (c, c), (n - c, B))
+        if sym:
+            mirror = lax.dynamic_slice(A, (c, c), (B, n - c))
+            A_panel = 0.5 * (A_panel + mirror.T)
         if kb > 0:
             rows = lax.dynamic_slice(L, (c, 0), (n - c, c))
             top = lax.dynamic_slice(L, (c, 0), (B, c))
             A_panel = A_panel - _mm(rows, top.T)
-        # factor the diagonal block (recursive, ends in lax at ≤ base)
+        # factor the diagonal block (recursive, ends in lax at ≤ base;
+        # already symmetrised above when sym)
         A11 = A_panel[:B]
         L11 = _blocked_cholesky_impl(A11, block=max(base, B // 4), base=base)
         out_panel = L11
@@ -178,8 +193,8 @@ def _blocked_cholesky_impl(A, block=1024, base=256):
     return L
 
 
-def _blocked_cholesky_fwd(A, block, base):
-    L = _blocked_cholesky_impl(A, block, base)
+def _blocked_cholesky_fwd(A, block, base, sym):
+    L = _blocked_cholesky_impl(A, block, base, sym)
     return L, L
 
 
@@ -467,9 +482,12 @@ def _active_bwd_prec():
     return _cfg.active_override("bwd_precision", _BWD_PREC)
 
 
-def _blocked_cholesky_bwd(block, base, L, L_bar):
-    """Blocked reverse rule; returns the symmetrised gradient (upstream K is
-    symmetric, so only sym(K̄) matters — cholesky_psd symmetrises anyway)."""
+def _blocked_cholesky_bwd(block, base, sym, L, L_bar):
+    """Blocked reverse rule; returns the symmetrised gradient.  For
+    sym=False this matches the historical contract (upstream K is
+    symmetric, so only sym(K̄) matters); for sym=True it IS the exact
+    pullback: d/dA of chol(0.5·(A+Aᵀ)) applied to the symmetric S is
+    0.5·(S + Sᵀ) = S."""
     from stheno_tpu import config as _cfg
 
     # the output's strict upper triangle is structurally zero: ignore any
@@ -689,7 +707,7 @@ def _pad_rows(b, np_):
     return jnp.pad(b, pad)
 
 
-def cholesky_blocked_padded(A, block=1024, base=256):
+def cholesky_blocked_padded(A, block=1024, base=256, sym=False):
     """`blocked_cholesky` for ANY n: ragged sizes above `block` are
     identity-padded to the next panel multiple (never the silent lax
     fallback); sizes ≤ `block` go straight through (the base/lax small-case
@@ -697,9 +715,9 @@ def cholesky_blocked_padded(A, block=1024, base=256):
     n = A.shape[-1]
     if n > block and n % block != 0:
         np_ = _padded_n(n, block)
-        Lp = blocked_cholesky(_pad_identity(A, np_), block, base)
+        Lp = blocked_cholesky(_pad_identity(A, np_), block, base, sym)
         return Lp[:n, :n]
-    return blocked_cholesky(A, block, base)
+    return blocked_cholesky(A, block, base, sym)
 
 
 def blocked_solve_lower(L, b, block=1024):
