@@ -458,6 +458,44 @@ def main():
                 return v + g[1] * 1e-9
 
             results["bench_hgrad"] = timed("bench_hgrad", hgrad_run)
+    if want("accuracy"):
+        # f32 logpdf+grad accuracy vs an f64 CPU oracle at N=4096 for the
+        # current library defaults — the check that caught the base=1024
+        # regression (XLA's TPU cholesky uses low-precision internal
+        # matmuls; at 1024-blocks that cost 6× logpdf accuracy and wrecked
+        # NUTS adaptation — BASELINE.md round-4 negative result #5).
+        from stheno_tpu.ops import chol as C
+
+        Na = 4096
+        xa = jnp.linspace(-5.0, 5.0, Na)
+        ya = jnp.sin(xa) + 0.2 * jnp.cos(7 * xa)
+
+        def lp(theta, dtype):
+            x = xa.astype(dtype)
+            y = ya.astype(dtype)
+            v, l, noise = (jnp.asarray(t, dtype) for t in theta)
+            d = (x[:, None] - x[None, :]) / l
+            K = v * jnp.exp(-0.5 * d * d) + noise * jnp.eye(Na, dtype=dtype)
+            return C.mvn_logpdf_chol(y, jnp.zeros_like(y), C.cholesky_psd(K))
+
+        import numpy as _np
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            jax.config.update("jax_enable_x64", True)
+            v_ref, g_ref = jax.jit(jax.value_and_grad(
+                lambda t: lp(t, jnp.float64)))((1.5, 1.0, 0.1))
+            v_ref = float(v_ref)
+            g_ref = [float(g) for g in g_ref]
+        v32, g32 = jax.jit(jax.value_and_grad(
+            lambda t: lp(t, jnp.float32)))((1.5, 1.0, 0.1))
+        verr = abs(float(v32) - v_ref)
+        gerr = max(abs((float(a) - b) / (abs(b) + 1e-12))
+                   for a, b in zip(g32, g_ref))
+        log(f"accuracy N=4096: |logpdf err| {verr:.3g} (round-4 baseline "
+            f"~2.0; base=1024 regression measured 13.5), max grad rel err "
+            f"{gerr:.3g}")
+        results["accuracy_logpdf_abs_err"] = verr
     if want("gemm_peak"):
         # Calibration: achieved rate of ONE plain square GEMM at each
         # precision — the real "peak" all efficiency claims divide by.

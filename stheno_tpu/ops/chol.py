@@ -67,16 +67,20 @@ def cholesky_psd(K, jitter=None):
 
         # block=1024 measured fastest at N=16k on v5e (67.6 ms vs 73.7 @2048,
         # 90.5 @4096 — scripts/perf_probe.py): panels stay VMEM-resident
-        # while the trailing GEMM still saturates the MXU.  base=1024 (the
-        # whole diagonal block via lax, no inner recursion) measured 64.7 vs
-        # 67.6 ms same-window (round 4); the backward keeps its own 256
-        # cutoff.  Ragged N is identity-padded to the next panel multiple
-        # (no silent lax cliff).  sym=True folds the symmetrisation into
-        # the per-panel reads — the explicit `symmetrize` materialisation
-        # costs ~3·N² words of HBM traffic (≈8 ms fwd+bwd at N=16k).
+        # while the trailing GEMM still saturates the MXU.  base stays 256:
+        # base=1024 (whole diagonal block via one lax call) is 3 ms faster
+        # but a measured ACCURACY regression — XLA's TPU cholesky runs its
+        # internal matmuls at low precision, and at 1024-blocks that made
+        # the N=4096 f32 logpdf 6× less accurate (13.5 vs 2.0 abs err) and
+        # wrecked NUTS adaptation (R̂ 2.2, 2.8% divergences; BASELINE.md
+        # round-4 negative result #5).  sym=True folds the symmetrisation
+        # into the per-panel reads — the explicit `symmetrize`
+        # materialisation costs ~3·N² words of HBM traffic (no accuracy
+        # effect, measured).  Ragged N is identity-padded to the next panel
+        # multiple (no silent lax cliff).
         if jitter is not None:
             K = add_jitter(K, jnp.asarray(jitter, dtype=K.dtype))
-        return cholesky_blocked_padded(K, block=1024, base=1024, sym=True)
+        return cholesky_blocked_padded(K, block=1024, base=256, sym=True)
     K = symmetrize(K)
     if jitter is not None:
         K = add_jitter(K, jnp.asarray(jitter, dtype=K.dtype))
@@ -178,7 +182,7 @@ def _chol_dispatch(K):
     if _use_blocked(K):
         from stheno_tpu.ops.blocked_cholesky import cholesky_blocked_padded
 
-        return cholesky_blocked_padded(K, 1024, 1024)
+        return cholesky_blocked_padded(K, 1024, 256)
     return lax.linalg.cholesky(K)
 
 
