@@ -280,7 +280,10 @@ def main():
     # forward base-case ladder: larger bases shorten the serial diagonal
     # chain (the forward's ~65%-of-calibrated-peak gap, round 4).  Library
     # precision (HIGH), set explicitly — earlier variants may have left
-    # HIGHEST behind.
+    # HIGHEST behind.  WARNING: base=1024 measured 3 ms faster but is an
+    # ACCURACY regression (negative result #5, BASELINE.md) — XLA's TPU
+    # cholesky runs internal matmuls at low precision; run `accuracy`
+    # before shipping any base change.
     for blk, base in [(1024, 256), (1024, 512), (1024, 1024), (2048, 512),
                       (2048, 1024)]:
         name = f"chol_f{blk}_b{base}"
