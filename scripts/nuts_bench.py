@@ -48,6 +48,10 @@ def main():
                          "large-N runs need segmenting; per-draw keys are "
                          "fold_in(offset+i) so segmentation does not change "
                          "the draws (resume-equivalence tested).")
+    ap.add_argument("--single-pass", action="store_true", dest="single_pass",
+                    help="segmented mode: derive the steady rate from the "
+                         "first pass's per-segment medians instead of a "
+                         "second full pass (halves relay exposure)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -208,16 +212,19 @@ def main():
             t0 = time.time()
             state, n_warm_calls = warm(key)
             t_warm = time.time() - t0
-            chunks, infos = [], []
+            chunks, infos, seg_times = [], [], []
             t0 = time.time()
             off = 0
             n_calls = 0
             while off < args.samples:
+                ts = time.time()
                 smp, inf, state = seg_j(key, state, jnp.asarray(off, jnp.int32))
                 chunks.append(np.asarray(smp))  # host pull forces segment
+                seg_times.append(time.time() - ts)
                 infos.append(np.asarray(inf.diverging))
                 off += S
                 n_calls += 1
+                log(f"  seg off={off - S:4d}: {seg_times[-1]:.2f}s")
             dt = time.time() - t0
             return (
                 np.concatenate(chunks, axis=1)[:, : args.samples],
@@ -225,14 +232,29 @@ def main():
                 dt,
                 t_warm,
                 n_calls,
+                seg_times,
             )
 
-        t0 = time.time()
-        full_run(jax.random.PRNGKey(1))
-        log(f"compile+first full pass: {time.time()-t0:.1f}s")
+        # Per-segment timing lets ONE pass yield a steady estimate (the
+        # first segment carries the compile; the median of the rest is the
+        # sustained rate — bench.py's min-over-batches philosophy).  On
+        # this relay the client process dies non-deterministically after
+        # many successive large calls, so --single-pass avoids doubling
+        # the exposure; without it a second (fully warm) pass is timed.
         null_s = null_probe("before")
-        s_host, div_a, dt, t_warm, n_sample_calls = full_run(
+        t0 = time.time()
+        s_host, div_a, dt1, t_warm, n_sample_calls, seg_times = full_run(
             jax.random.PRNGKey(2))
+        log(f"first full pass: {time.time()-t0:.1f}s (warmup {t_warm:.1f}s)")
+        if args.single_pass:
+            steady_seg = float(np.median(seg_times[1:])) if len(
+                seg_times) > 1 else seg_times[0]
+            dt = steady_seg * n_sample_calls
+            log(f"single-pass steady estimate: median seg "
+                f"{steady_seg:.2f}s × {n_sample_calls} = {dt:.1f}s")
+        else:
+            s_host, div_a, dt, t_warm, n_sample_calls, seg_times = full_run(
+                jax.random.PRNGKey(2))
         null_s = 0.5 * (null_s + null_probe("after"))
         div = float(div_a.mean())
         log(f"steady sampling: {dt:.1f}s in {n_sample_calls} segments of "
@@ -266,8 +288,13 @@ def main():
         "warmup": args.warmup,
         "steady_s": round(dt, 2),
         "warmup_s_excluded": round(t_warm, 2),
-        "timing": ("sampling-only, segmented" if args.segment > 0
-                   else "sampling-only, one jit (warmup in its own jit)"),
+        "timing": (
+            ("sampling-only, segmented"
+             + (", single-pass median-of-segments"
+                if args.single_pass else ""))
+            if args.segment > 0
+            else "sampling-only, one jit (warmup in its own jit)"
+        ),
         "ess_per_s": round(ess_total / dt, 1),
         "draws_per_s": round(draws_per_s, 1),
         "null_ms": round(null_s * 1e3, 1),
