@@ -48,6 +48,13 @@ def main():
                          "large-N runs need segmenting; per-draw keys are "
                          "fold_in(offset+i) so segmentation does not change "
                          "the draws (resume-equivalence tested).")
+    ap.add_argument("--precision", default=None,
+                    help="scoped GEMM precision for the whole run (e.g. "
+                         "'highest'): at N≳4k f32 the signal-variance "
+                         "gradient is cancellation-dominated at HIGH "
+                         "(bf16_3x) — rel err ~2 measured by `perf_probe "
+                         "accuracy` — which limits NUTS mixing on that "
+                         "coordinate; HIGHEST restores it at ~1.4× cost")
     ap.add_argument("--single-pass", action="store_true", dest="single_pass",
                     help="segmented mode: derive the steady rate from the "
                          "first pass's per-segment medians instead of a "
@@ -85,6 +92,15 @@ def main():
 
     spec = dict(v=P.positive(1.0), l=P.positive(1.0), noise=P.positive(0.3))
     theta0, unflatten = P.init(spec)
+
+    if args.precision:
+        # process-wide (this is a single-purpose script): custom-VJP
+        # backward rules trace outside any scoped block, so the default
+        # layer is the right lever here
+        from stheno_tpu.ops import blocked_cholesky as _bc
+
+        _bc.set_gemm_precision(args.precision)
+        log(f"GEMM precision: {args.precision}")
 
     def logdensity(theta):
         p = unflatten(theta)
