@@ -148,12 +148,20 @@ def blocked_cholesky(A, block=1024, base=256, sym=False):
     return _blocked_cholesky_impl(A, block, base, sym)
 
 
-def _blocked_cholesky_impl(A, block=1024, base=256, sym=False):
+def _blocked_cholesky_impl(A, block=1024, base=256, sym=False,
+                           collect_invs=False):
+    """When `collect_invs` (top level only), additionally returns the
+    per-panel diagonal-block triangular inverses the forward computes for
+    its TRSMs (plus the last panel's, computed for this purpose) —
+    residuals the custom VJP hands to the backward so its via-inverse
+    solves can reuse instead of recompute them (~16 serial tri-inv
+    constructions saved at N=16k)."""
     n = A.shape[-1]
     if n <= base:
         if sym:
             A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-        return _active_base_chol()(A)
+        L = _active_base_chol()(A)
+        return (L, None) if collect_invs else L
     # panel width: ≤ n/2 (so recursion strictly shrinks), multiple of 64 for
     # clean MXU tiling
     B = (min(block, n // 2) // 64) * 64
@@ -161,10 +169,12 @@ def _blocked_cholesky_impl(A, block=1024, base=256, sym=False):
         # ragged: fall back (callers pad to MXU-friendly sizes for speed)
         if sym:
             A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-        return lax.linalg.cholesky(A)
+        L = lax.linalg.cholesky(A)
+        return (L, None) if collect_invs else L
 
     nb = n // B
     L = jnp.zeros_like(A)
+    invs = []
     for kb in range(nb):
         c = kb * B
         # left-looking update of the current panel using finished columns
@@ -187,15 +197,23 @@ def _blocked_cholesky_impl(A, block=1024, base=256, sym=False):
             # the recursive 2-way-split inverse keeps all off-diagonal work on
             # the MXU (measured 7% faster end-to-end than XLA's TRSM-vs-I at
             # B=2048, N=16k)
-            L21 = _mm(A21, blocked_tri_inv_lower(L11, base=base).T)
+            L11inv = blocked_tri_inv_lower(L11, base=base)
+            L21 = _mm(A21, L11inv.T)
             out_panel = jnp.concatenate([L11, L21], axis=0)
+        elif collect_invs:
+            # last panel: no TRSM needs it, but the backward's solves do
+            L11inv = blocked_tri_inv_lower(L11, base=base)
+        if collect_invs:
+            invs.append(L11inv)
         L = lax.dynamic_update_slice(L, out_panel, (c, c))
+    if collect_invs:
+        return L, jnp.stack(invs)  # (nb, B, B)
     return L
 
 
 def _blocked_cholesky_fwd(A, block, base, sym):
-    L = _blocked_cholesky_impl(A, block, base, sym)
-    return L, L
+    L, invs = _blocked_cholesky_impl(A, block, base, sym, collect_invs=True)
+    return L, (L, invs)
 
 
 def _phi(M):
@@ -286,7 +304,7 @@ def _active_bwd_params():
     )
 
 
-def _chol_bwd_rec(L, L_bar, base):
+def _chol_bwd_rec(L, L_bar, base, invs=None, g0=0):
     """Recursive blocked reverse rule for L = chol(K) (lower-triangular
     gradient convention; symmetrised by the caller).
 
@@ -295,6 +313,11 @@ def _chol_bwd_rec(L, L_bar, base):
     — every level is a handful of GEMMs + half-size recursions, so the total
     backward cost is ~2× the forward factorisation, all on the MXU (no
     full-size triangular inverse, no N-wide sequential TRSM).
+
+    `invs`/`g0`: the forward's saved panel inverses and this sub-matrix's
+    global diagonal offset — aligned solve granularities slice their
+    diagonal-block inverses out of `invs` (see `_inv_block`) instead of
+    rebuilding them.
     """
     n = L.shape[-1]
     if n <= base:
@@ -308,26 +331,71 @@ def _chol_bwd_rec(L, L_bar, base):
 
     # reverse of L22 = chol(Schur): S22 is the raw gradient wrt the Schur
     # complement, which feeds both K̄22 and the L21 cotangent.
-    S22 = _chol_bwd_rec(L22, Lb22, base)
+    S22 = _chol_bwd_rec(L22, Lb22, base, invs=invs, g0=g0 + h)
     Lb21_eff = Lb21 - _mm(S22 + S22.T, L21)
 
     # reverse of L21 = K21 L11⁻ᵀ:
     #   K̄21 = L̄21 L11⁻¹   (right-solve, blocked: GEMMs + small TRSMs)
     #   L̄11 += −K̄21ᵀ L21
-    K21_bar = blocked_solve_upper_T(
-        L11, Lb21_eff.T, block=max(base, h // 4),
-        via_inv=_active_bwd_params()[1],
-    ).T
+    bs = max(base, h // 4)
+    if _reuse_ok(invs, bs, g0) and h % bs == 0:
+        K21_bar = _solve_upper_T_reuse(L11, Lb21_eff.T, bs, invs, g0).T
+    else:
+        K21_bar = blocked_solve_upper_T(
+            L11, Lb21_eff.T, block=bs,
+            via_inv=_active_bwd_params()[1],
+        ).T
     Lb11_eff = Lb11 - _mm(K21_bar.T, L21)
 
-    S11 = _chol_bwd_rec(L11, Lb11_eff, base)
+    S11 = _chol_bwd_rec(L11, Lb11_eff, base, invs=invs, g0=g0)
 
     top = jnp.concatenate([S11, jnp.zeros((h, n - h), L.dtype)], axis=1)
     bot = jnp.concatenate([K21_bar, S22], axis=1)
     return jnp.concatenate([top, bot], axis=0)
 
 
-def _chol_bwd_iter(L, L_bar, block, base):
+def _inv_block(invs, g, s):
+    """The saved inverse of the diagonal block [g:g+s) of the globally
+    factored matrix.  For lower-triangular L, the aligned diagonal
+    sub-blocks of L⁻¹ ARE the inverses of L's corresponding diagonal
+    sub-blocks, so any s ≤ Bf with s | Bf and s | g slices straight out
+    of the forward's (nb_f, Bf, Bf) panel-inverse stack."""
+    Bf = invs.shape[-1]
+    r = g % Bf
+    return invs[g // Bf][r : r + s, r : r + s]
+
+
+def _reuse_ok(invs, bs, g0):
+    return (
+        invs is not None
+        and _active_bwd_params()[1]  # via_inv=False: keep the TRSM path
+        and bs <= invs.shape[-1]
+        and invs.shape[-1] % bs == 0
+        and g0 % bs == 0
+    )
+
+
+def _solve_upper_T_reuse(L11, b, bs, invs, c_global):
+    """Blocked backward substitution Lᵀx = b with every diagonal-block
+    application a GEMM against the FORWARD's saved triangular inverses
+    (via `_inv_block`; L11 sits at global offset `c_global`).  Only
+    called when `_reuse_ok` holds and bs | L11 size; runs inside the
+    custom-VJP backward, so no AD passes through it."""
+    n = L11.shape[-1]
+    nb = n // bs
+    x = jnp.zeros_like(b)
+    for kb in reversed(range(nb)):
+        cc = kb * bs
+        rhs = b[cc : cc + bs]
+        if kb < nb - 1:
+            col = L11[cc + bs :, cc : cc + bs]
+            rhs = rhs - _mm(col.T, x[cc + bs :])
+        xk = _mm(_inv_block(invs, c_global + cc, bs).T, rhs)
+        x = lax.dynamic_update_slice(x, xk, (cc, 0))
+    return x
+
+
+def _chol_bwd_iter(L, L_bar, block, base, invs=None):
     """Iterative panel-sweep reverse rule; returns the SYMMETRIC gradient.
 
     Reverses the right-looking factorisation panel by panel, last to first,
@@ -346,7 +414,7 @@ def _chol_bwd_iter(L, L_bar, block, base):
     n = L.shape[-1]
     B = (min(block, n) // 64) * 64
     if B == 0 or n % B != 0 or n <= B:
-        K_raw = _chol_bwd_rec(L, L_bar, base)
+        K_raw = _chol_bwd_rec(L, L_bar, base, invs=invs, g0=0)
         return 0.5 * (K_raw + K_raw.T)
     nb = n // B
     # The trailing gradient is carried *functionally* as a growing dense
@@ -368,14 +436,22 @@ def _chol_bwd_iter(L, L_bar, block, base):
             # reverse of the Schur update K22 ← K22 − L21 L21ᵀ
             Lb21_eff = Lb21 - 2.0 * _mm(S_trail, L21)
             # reverse of L21 = K21 L11⁻ᵀ:  K̄21 = L̄21 L11⁻¹ (raw convention)
-            A21_bar = blocked_solve_upper_T(
-                L11, Lb21_eff.T, block=max(base, B // 4),
-                via_inv=_active_bwd_params()[1],
-            ).T
+            bs = max(base, B // 4)
+            if _reuse_ok(invs, bs, c) and B % bs == 0:
+                # reuse the forward's saved diagonal-block inverses (same
+                # blocks, same values — skips nb_f serial tri-inv builds)
+                A21_bar = _solve_upper_T_reuse(
+                    L11, Lb21_eff.T, bs, invs, c
+                ).T
+            else:
+                A21_bar = blocked_solve_upper_T(
+                    L11, Lb21_eff.T, block=bs,
+                    via_inv=_active_bwd_params()[1],
+                ).T
             Lb11_eff = Lb11 - _mm(A21_bar.T, L21)
         else:
             Lb11_eff = Lb11
-        S11_raw = _chol_bwd_rec(L11, Lb11_eff, base)
+        S11_raw = _chol_bwd_rec(L11, Lb11_eff, base, invs=invs, g0=c)
         S11 = 0.5 * (S11_raw + S11_raw.T)
         if m > 0:
             # symmetric convention halves the off-diagonal raw gradient
@@ -387,7 +463,7 @@ def _chol_bwd_iter(L, L_bar, block, base):
     return S_trail
 
 
-def _chol_bwd_fused(L, L_bar, block, base):
+def _chol_bwd_fused(L, L_bar, block, base, invs=None):
     """Fused panel-sweep reverse rule; returns the SYMMETRIC gradient.
 
     Same sweep as `_chol_bwd_iter` but with the per-panel sequential blocked
@@ -416,7 +492,7 @@ def _chol_bwd_fused(L, L_bar, block, base):
     n = L.shape[-1]
     B = (min(block, n) // 64) * 64
     if B == 0 or n % B != 0 or n <= B:
-        K_raw = _chol_bwd_rec(L, L_bar, base)
+        K_raw = _chol_bwd_rec(L, L_bar, base, invs=invs, g0=0)
         return 0.5 * (K_raw + K_raw.T)
     nb = n // B
     # trailing gradient assembled by concatenation, not dynamic_update_slice
@@ -427,7 +503,10 @@ def _chol_bwd_fused(L, L_bar, block, base):
         m = n - c - B
         L11 = L[c : c + B, c : c + B]
         Lb11 = L_bar[c : c + B, c : c + B]
-        L11inv = blocked_tri_inv_lower(L11, base=base)
+        if invs is not None and invs.shape[-1] == B:
+            L11inv = invs[kb]  # the forward's saved panel inverse
+        else:
+            L11inv = blocked_tri_inv_lower(L11, base=base)
         G = _mm(L11.T, Lb11)
         if m > 0:
             L21 = L[c + B :, c : c + B]
@@ -482,21 +561,24 @@ def _active_bwd_prec():
     return _cfg.active_override("bwd_precision", _BWD_PREC)
 
 
-def _blocked_cholesky_bwd(block, base, sym, L, L_bar):
+def _blocked_cholesky_bwd(block, base, sym, res, L_bar):
     """Blocked reverse rule; returns the symmetrised gradient.  For
     sym=False this matches the historical contract (upstream K is
     symmetric, so only sym(K̄) matters); for sym=True it IS the exact
     pullback: d/dA of chol(0.5·(A+Aᵀ)) applied to the symmetric S is
-    0.5·(S + Sᵀ) = S."""
+    0.5·(S + Sᵀ) = S.
+
+    Residuals carry the forward's diagonal-block triangular inverses;
+    when the backward's solve granularity aligns with them they are
+    reused (identical blocks, identical values) instead of rebuilt."""
     from stheno_tpu import config as _cfg
 
+    L, invs = res
     # the output's strict upper triangle is structurally zero: ignore any
     # cotangent that lands there
     bwd_base, _, mode, bwd_block = _active_bwd_params()
     # the backward recursion cutoff is its own knob, independent of the
-    # forward's base: fwd base=1024 (lax-direct diagonal, −3 ms measured
-    # round 4) + bwd base=256 (rec cutoff; 1024 measured slower in the
-    # round-3 ladder) is the best combination
+    # forward's base (bwd base=256 optimal; round-3 ladder)
     eff_base = bwd_base
     # scope the backward-precision override over this trace (the whole
     # reverse rule, including its internal blocked solves, traces inside
@@ -504,11 +586,14 @@ def _blocked_cholesky_bwd(block, base, sym, L, L_bar):
     bp = _active_bwd_prec()
     with _cfg.scoped(**({"gemm_precision": bp} if bp is not None else {})):
         if mode == "fused":
-            out = _chol_bwd_fused(L, jnp.tril(L_bar), bwd_block, eff_base)
+            out = _chol_bwd_fused(L, jnp.tril(L_bar), bwd_block, eff_base,
+                                  invs=invs)
         elif mode == "iter":
-            out = _chol_bwd_iter(L, jnp.tril(L_bar), bwd_block, eff_base)
+            out = _chol_bwd_iter(L, jnp.tril(L_bar), bwd_block, eff_base,
+                                 invs=invs)
         else:
-            K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=eff_base)
+            K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=eff_base,
+                                  invs=invs, g0=0)
             out = 0.5 * (K_raw + K_raw.T)
     return (out,)
 

@@ -225,6 +225,37 @@ def test_ragged_n_routes_blocked_with_padding(rng, n):
                                atol=1e-8)
 
 
+@pytest.mark.parametrize(
+    "mode,bwd_base,bwd_block",
+    [
+        ("iter", 512, 1024),  # solve granularity 512 == fwd panel width
+        ("fused", 256, 512),  # fused panel width == fwd panel width
+    ],
+)
+def test_backward_reuses_forward_inverses(rng, mode, bwd_base, bwd_block):
+    """When the backward's solve granularity aligns with the forward's
+    panel width, the saved diagonal-block inverses are reused (round 4).
+    Gradient parity with lax autodiff must hold on the reuse path."""
+    from stheno_tpu.ops import blocked_cholesky as bc
+
+    n = 2048
+    K = _psd(rng, n)
+    ct = jnp.asarray(rng.normal(size=(n, n)))
+    prev = bc.set_bwd_params(base=bwd_base, via_inv=True, mode=mode,
+                             block=bwd_block)
+    try:
+        _, vjp_b = jax.vjp(
+            lambda A: blocked_cholesky(A, block=512, base=256), K)
+        gb = vjp_b(ct)[0]
+    finally:
+        bc.set_bwd_params(*prev)
+    _, vjp_l = jax.vjp(jnp.linalg.cholesky, K)
+    gl = vjp_l(ct)[0]
+    np.testing.assert_allclose(
+        np.asarray(0.5 * (gb + gb.T)), np.asarray(0.5 * (gl + gl.T)),
+        atol=2e-8 * n)
+
+
 def test_blocked_fused_symmetrize_matches_explicit(rng):
     """The blocked path folds the mandatory symmetrisation into per-panel
     reads (sym=True).  On a deliberately ASYMMETRIC input, value and
