@@ -29,6 +29,7 @@ compiles make reruns cheap).  Extra diagnostics go to stderr; stdout carries
 only the JSON line.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -46,7 +47,15 @@ except Exception:
     pass
 
 
-N = int(os.environ.get("BENCH_N", 16384))  # override for CPU smoke only
+_p = argparse.ArgumentParser(description=__doc__)
+_p.add_argument(
+    "--n", type=int, default=int(os.environ.get("BENCH_N", 16384)),
+    help="problem size (default 16384; --n 32768 is the single-chip "
+    "scaling row — same pipeline, telemetry and methodology, metric name "
+    "carries the size)",
+)
+_ARGS, _ = _p.parse_known_args()
+N = _ARGS.n  # env BENCH_N also honoured (CPU smoke)
 DTYPE = jnp.float32
 # per-chip peak f32 FLOP/s (TPU v5e ≈ 197 TFLOP/s bf16 → ~49 TF/s f32;
 # conservative single-chip figure used only to normalise vs_baseline)
@@ -211,8 +220,13 @@ def main():
         f"(device {sol_ms / device_ms:.3f}); relay_healthy={healthy}"
     )
 
+    metric = (
+        "gppp_logpdf_grad_ms_n16k_f32"
+        if N == 16384
+        else f"gppp_logpdf_grad_ms_n{N}_f32"
+    )
     print(json.dumps({
-        "metric": "gppp_logpdf_grad_ms_n16k_f32",
+        "metric": metric,
         "value": round(ms, 2),
         "unit": "ms",
         "vs_baseline": round(vs, 4),
