@@ -151,4 +151,10 @@ def snapshot():
         ("bwd_params", _bc._active_bwd_params()),
         ("chol_backend", active_override("chol_backend", _chol.CHOL_BACKEND)),
         ("logpdf_fused", active_override("logpdf_fused", _chol.LOGPDF_FUSED)),
+        # base factorisers are part of the active configuration too (the
+        # deprecated set_* docstrings direct users at these scoped keys);
+        # compare by identity — two configs differing only in base
+        # factoriser must not share a jit cache entry (ADVICE r4)
+        ("base_cholesky", active_override("base_cholesky", _bc._BASE_CHOL)),
+        ("base_tri_inv", active_override("base_tri_inv", _bc._BASE_TRI_INV)),
     )

@@ -577,6 +577,11 @@ def nuts_warmup(
     ``run_nuts(key, ..., resume_state=...)`` (which then reproduces the
     uninterrupted run's draws bit-for-bit).
     """
+    if num_warmup < 1:
+        # the traced-segment path clamps indices with min(idx, num_warmup-1),
+        # which would read slot -1 of an empty schedule (ADVICE r4); a
+        # zero-warmup run is `run_nuts(..., resume_state=...)`'s job
+        raise ValueError(f"nuts_warmup requires num_warmup >= 1, got {num_warmup}")
     flat0, unravel = jax.flatten_util.ravel_pytree(init_position)
     d = flat0.shape[0]
     dt = flat0.dtype

@@ -211,8 +211,32 @@ def _blocked_cholesky_impl(A, block=1024, base=256, sym=False,
     return L
 
 
+def _invs_reusable_by_bwd():
+    """Whether the ACTIVE backward configuration can consume the forward's
+    saved panel inverses at all.  'iter'/'rec' reuse them only inside their
+    via-inverse solves (`_reuse_ok`); 'fused' slices them directly.  A
+    backward-precision override differing from the forward GEMM precision
+    also rules reuse out (the inverses were built at the forward precision
+    — reusing them would silently cap the backward's diagonal-block solves;
+    ADVICE r4).  Trace-time state, like every other tuning knob."""
+    _, via_inv, mode, _ = _active_bwd_params()
+    bp = _active_bwd_prec()
+    if bp is not None and bp != _active_prec():
+        return False
+    return via_inv or mode == "fused"
+
+
 def _blocked_cholesky_fwd(A, block, base, sym):
-    L, invs = _blocked_cholesky_impl(A, block, base, sym, collect_invs=True)
+    # Skip the inverse stack (≈ nb·B² residual memory, ~64 MB at N=16k f32,
+    # plus an extra last-panel tri-inv) when the active backward params make
+    # reuse impossible (ADVICE r4).  Config-dependent tracing is the
+    # documented contract of every knob here (see `config.snapshot`).
+    if _invs_reusable_by_bwd():
+        L, invs = _blocked_cholesky_impl(A, block, base, sym,
+                                         collect_invs=True)
+    else:
+        L = _blocked_cholesky_impl(A, block, base, sym)
+        invs = None
     return L, (L, invs)
 
 
@@ -584,6 +608,12 @@ def _blocked_cholesky_bwd(block, base, sym, res, L_bar):
     # reverse rule, including its internal blocked solves, traces inside
     # this Python call, so a thread-local scoped override is exact scoping)
     bp = _active_bwd_prec()
+    if bp is not None and bp != _active_prec():
+        # the saved inverses were built at the FORWARD GEMM precision;
+        # reusing them under a different backward precision would silently
+        # cap the backward's diagonal-block solves (ADVICE r4) — rebuild
+        # them under the backward scope instead
+        invs = None
     with _cfg.scoped(**({"gemm_precision": bp} if bp is not None else {})):
         if mode == "fused":
             out = _chol_bwd_fused(L, jnp.tril(L_bar), bwd_block, eff_base,

@@ -132,3 +132,21 @@ def test_bwd_precision_scope_steers_backward(rng):
         assert bc._active_prec() == lax.Precision.HIGH  # forward unaffected
     assert bc._active_bwd_prec() is None
     assert bc._active_prec() == lax.Precision.HIGH
+
+
+def test_snapshot_includes_base_factorisers():
+    """Two configurations differing only in base factoriser must produce
+    different snapshots (jit-cache keys) — ADVICE r4."""
+    import stheno_tpu.config as cfg
+
+    s0 = cfg.snapshot()
+
+    def my_base(A):  # pragma: no cover - identity marker only
+        return A
+
+    with cfg.scoped(base_cholesky=my_base):
+        s1 = cfg.snapshot()
+    with cfg.scoped(base_tri_inv=my_base):
+        s2 = cfg.snapshot()
+    assert s1 != s0 and s2 != s0 and s1 != s2
+    assert cfg.snapshot() == s0

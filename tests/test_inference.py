@@ -451,3 +451,21 @@ def test_segmented_warmup_overshoot_and_concrete_array_start(key):
         resume_state=warmup_result(stb_arr),
     )
     np.testing.assert_array_equal(np.asarray(s3), np.asarray(full))
+
+
+def test_nuts_warmup_rejects_zero_warmup():
+    """num_warmup=0 would index an empty schedule in the traced-segment
+    path (ADVICE r4) — must raise immediately instead."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from stheno_tpu.inference.hmc import nuts_warmup
+
+    with pytest.raises(ValueError, match="num_warmup"):
+        nuts_warmup(
+            jax.random.PRNGKey(0),
+            lambda q: -0.5 * jnp.sum(q**2),
+            jnp.zeros(2),
+            num_warmup=0,
+        )

@@ -390,3 +390,49 @@ def test_solve_lower_blocked_routing_parity(rng):
                 )
     finally:
         c.CHOL_BACKEND = prev
+
+
+def test_fwd_skips_inverse_stack_when_bwd_cannot_reuse(rng):
+    """The forward only materialises the panel-inverse residual stack when
+    the ACTIVE backward configuration can consume it (ADVICE r4): via_inv
+    solves or the fused mode, at matching precision."""
+    from stheno_tpu import config as cfg
+    from stheno_tpu.ops import blocked_cholesky as bc
+
+    K = _psd(rng, 1024)
+
+    def residual_invs():
+        _, (_, invs) = bc._blocked_cholesky_fwd(K, 512, 256, False)
+        return invs
+
+    assert residual_invs() is not None  # default: iter + via_inv=True
+    with cfg.bwd_params(via_inv=False, mode="iter"):
+        assert residual_invs() is None  # TRSM path never touches them
+    with cfg.bwd_params(via_inv=False, mode="fused"):
+        assert residual_invs() is not None  # fused slices them directly
+    with cfg.bwd_precision("highest"):
+        # differing backward precision: inverses built at fwd precision
+        # must not be reused (nor collected)
+        assert residual_invs() is None
+    with cfg.bwd_precision("high"):
+        assert residual_invs() is not None  # same as fwd precision: fine
+
+
+def test_bwd_precision_override_grad_parity(rng):
+    """Gradient parity with lax autodiff when the backward runs under a
+    scoped precision override differing from the forward (the invs-reuse
+    disable path, ADVICE r4)."""
+    from stheno_tpu import config as cfg
+
+    n = 1024
+    K = _psd(rng, n)
+    ct = jnp.asarray(rng.normal(size=(n, n)))
+    with cfg.bwd_precision("highest"):
+        _, vjp_b = jax.vjp(
+            lambda A: blocked_cholesky(A, block=512, base=256), K)
+        gb = vjp_b(ct)[0]
+    _, vjp_l = jax.vjp(jnp.linalg.cholesky, K)
+    gl = vjp_l(ct)[0]
+    np.testing.assert_allclose(
+        np.asarray(0.5 * (gb + gb.T)), np.asarray(0.5 * (gl + gl.T)),
+        atol=2e-8 * n)
