@@ -43,7 +43,15 @@ from stheno_tpu.inference.laplace import (
     LaplaceResult,
     LaplacePosteriorGP,
 )
-from stheno_tpu.inference.smc import run_smc, SMCResult
+from stheno_tpu.inference.smc import (
+    run_smc,
+    smc_init,
+    smc_segment,
+    smc_finished,
+    smc_result,
+    SMCCheckpoint,
+    SMCResult,
+)
 from stheno_tpu.inference.diagnostics import (
     effective_sample_size,
     potential_scale_reduction,
@@ -79,6 +87,11 @@ __all__ = [
     "LaplaceResult",
     "LaplacePosteriorGP",
     "run_smc",
+    "smc_init",
+    "smc_segment",
+    "smc_finished",
+    "smc_result",
+    "SMCCheckpoint",
     "SMCResult",
     "effective_sample_size",
     "potential_scale_reduction",

@@ -477,6 +477,104 @@ def _find_reasonable_eps(ld_and_grad, key, q, logp, grad, inv_mass):
     return jnp.where(going_up, eps * 0.5, eps)
 
 
+#: N at/above which `precision='auto'` pins HIGHEST GEMMs for f32
+#: likelihoods.  Measured (BASELINE.md round 4): at the library-default HIGH
+#: (bf16_3x) precision, exact-GP NUTS at N=4096 f32 silently degrades
+#: run-to-run (R̂ 1.4–2.2 observed, 0% divergences — nothing warns) because
+#: the signal-variance gradient is cancellation-noise; HIGHEST restored
+#: mixing AND delivered 2.3× more ESS/s despite 2×-slower GEMMs.  N ≤ 2048
+#: mixes fine at HIGH.
+AUTO_HIGHEST_MIN_N = 4096
+
+#: Post-run mixing check threshold (split-R̂).
+RHAT_WARN_THRESHOLD = 1.05
+
+
+def _precision_policy(precision, flat_logdensity, d, dt):
+    """Resolve a `precision` argument into (context manager, resolved
+    precision | None).
+
+    - None: no scoping (caller manages precision).
+    - 'auto': trace the log-density with `jax.eval_shape` inside a
+      Cholesky-size recorder (ops.chol.record_chol_sizes); if it factorises
+      an f32 covariance of N ≥ AUTO_HIGHEST_MIN_N and the active GEMM
+      precision is below HIGHEST, scope HIGHEST over the whole run (warns
+      once, actionably).  Closes the silent-wrong-answer footgun of
+      VERDICT r4 weak-item 1 at the source.
+    - anything else: normalised and scoped as given.
+    """
+    import warnings
+    from contextlib import nullcontext
+
+    from stheno_tpu import config as _cfg
+    from stheno_tpu.ops import blocked_cholesky as _bc
+    from stheno_tpu.ops import chol as _chol
+
+    if precision is None:
+        return nullcontext(), None
+    if precision != "auto":
+        p = _cfg._norm_precision(precision)
+        return _cfg.gemm_precision(p), p
+    try:
+        with _chol.record_chol_sizes() as sizes:
+            jax.eval_shape(flat_logdensity, jax.ShapeDtypeStruct((d,), dt))
+    except Exception:
+        # a log-density that cannot be shape-traced standalone (e.g. closed
+        # over concrete device state being donated) — no policy, no scoping
+        return nullcontext(), None
+    big_f32 = [n for (n, cdt) in sizes
+               if n >= AUTO_HIGHEST_MIN_N and cdt == jnp.dtype(jnp.float32)]
+    if big_f32 and _bc._active_prec() != lax.Precision.HIGHEST:
+        warnings.warn(
+            f"precision='auto': the log-density factorises an "
+            f"N={max(big_f32)} float32 covariance, so all GEMMs in this run "
+            f"are pinned to HIGHEST precision (at the HIGH/bf16_3x default "
+            f"the cancellation-dominated variance gradient silently degrades "
+            f"mixing at N>={AUTO_HIGHEST_MIN_N}; HIGHEST measured 2.3x more "
+            f"ESS/s — BASELINE.md round 4).  Pass precision=None to opt "
+            f"out, or an explicit precision to choose.",
+            stacklevel=3,
+        )
+        return (_cfg.gemm_precision(lax.Precision.HIGHEST),
+                lax.Precision.HIGHEST)
+    return nullcontext(), None
+
+
+def _check_mixing(qs, dt, resolved_prec, num_chains, num_samples):
+    """Loud, actionable post-run split-R̂ warning (VERDICT r4 weak-item 1:
+    `run_nuts` computed diagnostics but nothing connected them to the
+    user).  Host-side only — skipped under tracing."""
+    import warnings
+
+    if isinstance(qs, jax.core.Tracer) or num_chains < 2 or num_samples < 8:
+        return
+    from stheno_tpu.inference.diagnostics import potential_scale_reduction
+    import numpy as np
+
+    rhat = float(jnp.max(potential_scale_reduction(qs)))
+    if not np.isfinite(rhat) or rhat <= RHAT_WARN_THRESHOLD:
+        return
+    from stheno_tpu.ops import blocked_cholesky as _bc
+
+    prec = resolved_prec if resolved_prec is not None else _bc._active_prec()
+    hint = ""
+    if (jnp.dtype(dt) == jnp.dtype(jnp.float32)
+            and prec != lax.Precision.HIGHEST):
+        hint = (
+            "  This run's GEMMs ran below HIGHEST precision; exact-GP "
+            "posteriors at N>~4096 f32 are known to silently degrade "
+            "there (cancellation-noise gradients; BASELINE.md round 4) — "
+            "re-run under `with stheno_tpu.config.gemm_precision('highest')` "
+            "or leave precision='auto'."
+        )
+    warnings.warn(
+        f"NUTS chains have not mixed: max split-R-hat = {rhat:.3f} > "
+        f"{RHAT_WARN_THRESHOLD}.  Treat these draws as unconverged "
+        f"(more warmup / reparametrise / check gradients).{hint}",
+        stacklevel=3,
+    )
+
+
 class ChainState(NamedTuple):
     """Resumable per-chain sampler state (checkpointable pytree;
     SURVEY.md §5 checkpoint/resume)."""
@@ -550,8 +648,15 @@ def nuts_warmup(
     init_jitter=1.0,
     segment=None,
     state: "WarmupState | None" = None,
+    precision="auto",
 ):
     """Stan-window warmup, optionally in resumable segments.
+
+    ``precision``: GEMM-precision policy for the whole warmup — 'auto'
+    (default; pins HIGHEST when the log-density factorises a large f32
+    covariance, see `_precision_policy`), None (no scoping), or an explicit
+    precision.  Pass the SAME value to the matching `run_nuts` call so
+    adaptation and sampling trace identically.
 
     ``segment=(a, b)`` runs warmup iterations [a, b) of the fixed
     `num_warmup`-iteration schedule, resuming from `state` (required when
@@ -660,12 +765,14 @@ def nuts_warmup(
         )
         return WarmupState(*carry)
 
-    if (not _is_traced(a)) and int(a) == 0:
-        q_inits = flat0[None, :] + init_jitter * jax.random.normal(
-            key_init, (num_chains, d), dt
-        ).at[0].set(0.0)
-        state = jax.vmap(chain_init)(chain_keys, q_inits)
-    return jax.vmap(chain_segment)(chain_keys, state)
+    prec_ctx, _ = _precision_policy(precision, flat_logdensity, d, dt)
+    with prec_ctx:
+        if (not _is_traced(a)) and int(a) == 0:
+            q_inits = flat0[None, :] + init_jitter * jax.random.normal(
+                key_init, (num_chains, d), dt
+            ).at[0].set(0.0)
+            state = jax.vmap(chain_init)(chain_keys, q_inits)
+        return jax.vmap(chain_segment)(chain_keys, state)
 
 
 def warmup_result(state: WarmupState) -> ChainState:
@@ -695,8 +802,21 @@ def run_nuts(
     return_state=False,
     resume_state: "ChainState | None" = None,
     sample_offset=0,
+    precision="auto",
+    check_rhat=True,
 ):
     """Run warmup + sampling for `num_chains` chains, vmapped.
+
+    ``precision``: GEMM-precision policy for the whole run — 'auto'
+    (default) traces the log-density once with `jax.eval_shape` and pins
+    HIGHEST when it factorises an f32 covariance of N ≥
+    `AUTO_HIGHEST_MIN_N` (the measured mixing cliff, BASELINE.md round 4);
+    None disables scoping; an explicit precision is applied as given.
+
+    ``check_rhat``: after sampling (outside jit only), compute split-R̂
+    over the flat position dimensions and warn loudly if max R̂ exceeds
+    `RHAT_WARN_THRESHOLD` — with a precision hint when the run's GEMMs were
+    below HIGHEST on an f32 posterior.
 
     `init_position` may be a flat vector or any pytree; chains are
     initialised by jittering it with N(0, init_jitter²) in unconstrained
@@ -785,21 +905,27 @@ def run_nuts(
     key_init, key_run = jax.random.split(key)
     chain_keys = jax.random.split(key_run, num_chains)
 
-    if resume_state is not None:
-        qs, infos, fin = jax.vmap(sample_only)(
-            chain_keys,
-            resume_state.q,
-            resume_state.logp,
-            resume_state.grad,
-            resume_state.eps,
-            resume_state.inv_mass,
-        )
-    else:
-        q_inits = flat0[None, :] + init_jitter * jax.random.normal(
-            key_init, (num_chains, d), dt
-        ).at[0].set(0.0)
-        qs, infos, fin = jax.vmap(single_chain)(chain_keys, q_inits)
+    prec_ctx, resolved_prec = _precision_policy(
+        precision, flat_logdensity, d, dt
+    )
+    with prec_ctx:
+        if resume_state is not None:
+            qs, infos, fin = jax.vmap(sample_only)(
+                chain_keys,
+                resume_state.q,
+                resume_state.logp,
+                resume_state.grad,
+                resume_state.eps,
+                resume_state.inv_mass,
+            )
+        else:
+            q_inits = flat0[None, :] + init_jitter * jax.random.normal(
+                key_init, (num_chains, d), dt
+            ).at[0].set(0.0)
+            qs, infos, fin = jax.vmap(single_chain)(chain_keys, q_inits)
 
+    if check_rhat:
+        _check_mixing(qs, dt, resolved_prec, num_chains, num_samples)
     samples = jax.vmap(jax.vmap(unravel))(qs)
     if return_state:
         state = ChainState(

@@ -24,6 +24,38 @@ def symmetrize(K):
     return 0.5 * (K + jnp.swapaxes(K, -1, -2))
 
 
+# ---------------------------------------------------------------------------
+# Trace-time factorisation-size recording
+# ---------------------------------------------------------------------------
+# Lets policy code (e.g. the NUTS `precision='auto'` rule, inference/hmc.py)
+# discover what a black-box log-density actually factorises: run
+# `jax.eval_shape(logdensity, q)` inside `record_chol_sizes()` and every
+# Cholesky the trace hits reports its (N, dtype).  Thread-local, nestable,
+# zero cost when inactive.
+
+import threading as _threading
+from contextlib import contextmanager as _contextmanager
+
+_rec_tls = _threading.local()
+
+
+@_contextmanager
+def record_chol_sizes():
+    """Collect the (N, dtype) of every Cholesky traced in this block."""
+    prev = getattr(_rec_tls, "sizes", None)
+    _rec_tls.sizes = sizes = []
+    try:
+        yield sizes
+    finally:
+        _rec_tls.sizes = prev
+
+
+def _record_n(n, dtype):
+    sizes = getattr(_rec_tls, "sizes", None)
+    if sizes is not None:
+        sizes.append((int(n), jnp.dtype(dtype)))
+
+
 def add_jitter(K, jitter):
     n = K.shape[-1]
     return K + jitter * jnp.eye(n, dtype=K.dtype)
@@ -62,6 +94,7 @@ def cholesky_psd(K, jitter=None):
     antisymmetric floating-point noise from block assembly.  `jitter` may be
     a traced scalar (jit-safe).
     """
+    _record_n(K.shape[-1], K.dtype)
     if _use_blocked(K):
         from stheno_tpu.ops.blocked_cholesky import cholesky_blocked_padded
 
@@ -179,6 +212,7 @@ def _mvn_logpdf_fused(K, diff):
 
 
 def _chol_dispatch(K):
+    _record_n(K.shape[-1], K.dtype)
     if _use_blocked(K):
         from stheno_tpu.ops.blocked_cholesky import cholesky_blocked_padded
 
