@@ -44,6 +44,15 @@ def main():
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--p", type=int, default=64)
     ap.add_argument("--p-analytic", type=int, default=4096)
+    ap.add_argument("--segment", type=int, default=0,
+                    help="gp workload: tempering stages per jitted segment "
+                         "(0 = whole run in one lax.while_loop program).  "
+                         "The relay kills long single executions, so large-N "
+                         "rows need segmenting; per-stage fold_in keys make "
+                         "segmented == fused bit-exact (tested).")
+    ap.add_argument("--seeds", type=int, default=2,
+                    help="gp workload: timed replicate runs (also the "
+                         "spread basis for the log-Z run-to-run column)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -149,32 +158,75 @@ def main():
                            + 3 * jnp.log(jnp.asarray(2 * np.pi, DT)))
 
         init = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (P_, 3), DT)
+        kw = dict(num_mcmc=3, hmc_step_size=0.25, hmc_num_steps=8)
 
-        @jax.jit
-        def run(i):
-            res = run_smc(
-                jax.random.fold_in(jax.random.PRNGKey(5), i), loglike,
-                logprior, init, num_mcmc=3, hmc_step_size=0.25,
-                hmc_num_steps=8,
+        if args.segment > 0:
+            from stheno_tpu.inference import (
+                smc_finished,
+                smc_init,
+                smc_result,
+                smc_segment,
             )
-            return res.log_evidence, res.num_stages, res.particles
+
+            MAXS = 50
+            init_j = jax.jit(
+                lambda: smc_init(loglike, logprior, init, max_stages=MAXS))
+            seg_j = jax.jit(
+                lambda k, stt: smc_segment(
+                    k, loglike, logprior, init, stt, args.segment,
+                    max_stages=MAXS, **kw))
+
+            def run(i):
+                """Segmented pass; returns (lz, stages, particles, wall,
+                seg_times)."""
+                key = jax.random.fold_in(jax.random.PRNGKey(5), i)
+                t0 = time.time()
+                state = init_j()
+                float(state.beta)  # host pull forces the init program
+                seg_times = []
+                while not bool(smc_finished(state, MAXS)):
+                    ts = time.time()
+                    state = seg_j(key, state)
+                    float(jnp.sum(state.particles))  # forces the segment
+                    seg_times.append(time.time() - ts)
+                    log(f"  seg {len(seg_times)}: {seg_times[-1]:.2f}s "
+                        f"beta={float(state.beta):.4f} "
+                        f"step={int(state.step)}")
+                res = smc_result(state, init)
+                return (res.log_evidence, res.num_stages, res.particles,
+                        time.time() - t0, seg_times)
+        else:
+            @jax.jit
+            def _run_fused(i):
+                res = run_smc(
+                    jax.random.fold_in(jax.random.PRNGKey(5), i), loglike,
+                    logprior, init, **kw,
+                )
+                return res.log_evidence, res.num_stages, res.particles
+
+            def run(i):
+                t0 = time.time()
+                lz, stages, parts = _run_fused(i)
+                np.asarray(parts)  # host pull forces the whole run
+                return lz, stages, parts, time.time() - t0, []
 
         nb = null_probe("before")
         t0 = time.time()
-        lz, stages, parts = run(0)
-        np.asarray(parts)  # host pull forces the whole run
+        lz, stages, parts, _, _ = run(0)
         log(f"gp compile+first {time.time()-t0:.1f}s "
             f"logZ={float(lz):.2f} stages={int(stages)}")
-        reps = 2
-        t0 = time.time()
-        for i in range(1, reps + 1):
-            lz, stages, parts = run(i)
+        lzs, walls, seg_times = [], [], []
+        for i in range(1, args.seeds + 1):
+            lz, stages, parts, wall, segs = run(i)
             p_host = np.asarray(parts)
-        dt_s = (time.time() - t0) / reps
+            lzs.append(float(lz))
+            walls.append(wall)
+            seg_times += segs
+        dt_s = float(np.mean(walls))
         na = null_probe("after")
         med = np.exp(np.median(p_host, axis=0))
         stages = int(stages)
-        rows.append({
+        row = {
             "metric": f"smc_gp_evidence_N{N}",
             "n": N, "particles": P_, "stages": stages,
             "num_mcmc": 3, "hmc_steps": 8,
@@ -182,10 +234,15 @@ def main():
             "particle_stage_updates_per_s": round(P_ * stages / dt_s, 1),
             "loglike_evals_per_s": round(
                 P_ * stages * (1 + 3 * 8) / dt_s, 1),
-            "log_z": round(float(lz), 2),
+            "log_z": round(float(lzs[-1]), 2),
+            "log_z_seed_spread": round(float(np.ptp(lzs)), 3),
             "posterior_medians_v_l_noise": [round(float(v), 3) for v in med],
             "null_ms": round(5e2 * (nb + na), 1),
-        })
+        }
+        if args.segment > 0:
+            row["segment_stages"] = args.segment
+            row["seg_s_median"] = round(float(np.median(seg_times)), 2)
+        rows.append(row)
         log(f"gp: medians v={med[0]:.2f} l={med[1]:.2f} noise={med[2]:.3f} "
             f"(truth 1.5, 1.2, 0.1)")
 
