@@ -117,3 +117,8 @@ def test_getting_started_example(monkeypatch, capsys):
 @pytest.mark.slow
 def test_smc_model_evidence_example(monkeypatch):
     _run(monkeypatch, "smc_model_evidence", "--platform", "cpu")
+
+
+def test_neural_kernel_network_example(monkeypatch, capsys):
+    _run(monkeypatch, "neural_kernel_network", "--platform", "cpu", "--fast")
+    assert "neural_kernel_network: OK" in capsys.readouterr().out

@@ -177,3 +177,63 @@ def test_new_kernels_psd_and_gp_roundtrip(rng, k):
     f = st.GP(k, gpc=GPC())
     lp = st.logpdf(f(x, 0.3), jnp.asarray(rng.normal(size=9)))
     assert bool(jnp.isfinite(lp))
+
+
+def test_neural_kernel_network_matches_explicit_algebra(rng):
+    """A single bias-free LinearLayer NKN IS the weighted kernel sum; a
+    product layer IS the kernel product — check against the explicit
+    algebra (reference NKN example parity: LinearLayer/product closure)."""
+    import jax
+
+    from stheno_tpu import LinearLayer, NeuralKernelNetwork, ProductLayer
+
+    x = jnp.asarray(rng.normal(size=7))
+    y = jnp.asarray(rng.normal(size=5))
+    k1, k2 = st.SEKernel(), st.Matern32Kernel()
+    w = jnp.asarray([[0.3, 1.7]])
+
+    nkn = NeuralKernelNetwork(
+        (k1, k2), (LinearLayer(jnp.log(w)),))
+    explicit = 0.3 * k1 + 1.7 * k2
+    np.testing.assert_allclose(
+        kernelmatrix(nkn, x, y), kernelmatrix(explicit, x, y), atol=1e-12)
+    np.testing.assert_allclose(
+        kernelmatrix(nkn, x), kernelmatrix(explicit, x), atol=1e-12)
+    np.testing.assert_allclose(
+        kernelmatrix_diag(nkn, x), kernelmatrix_diag(explicit, x), atol=1e-12)
+
+    # product layer == kernel product
+    nkn_p = NeuralKernelNetwork(
+        (k1, k2),
+        (ProductLayer(), LinearLayer(jnp.zeros((1, 1)))),
+    )
+    np.testing.assert_allclose(
+        kernelmatrix(nkn_p, x, y), kernelmatrix(k1 * k2, x, y), atol=1e-12)
+
+    # layer params are differentiable leaves
+    g = jax.grad(
+        lambda k: jnp.sum(kernelmatrix(k, x))
+    )(nkn)
+    assert float(jnp.sum(jnp.abs(g.layers[0].log_w))) > 0
+
+
+def test_neural_kernel_network_gp_interface(rng):
+    """Full process-interface conformance (PSD, var ≡ diag(cov), posterior)
+    for a GP with an NKN covariance."""
+    from stheno_tpu import LinearLayer, NeuralKernelNetwork, ProductLayer
+    from stheno_tpu.graph import GPC
+    from stheno_tpu.utils.testing import check_process_interface
+    import jax
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(1))
+    nkn = NeuralKernelNetwork(
+        (st.SEKernel(), st.Matern52Kernel(),
+         st.LinearKernel(), st.PeriodicKernel(r=jnp.asarray(1.0))),
+        (LinearLayer.init(k0, 4, 4), ProductLayer(),
+         LinearLayer.init(k1, 2, 1)),
+    )
+    f = st.GP(nkn, gpc=GPC())
+    x0 = jnp.asarray(rng.normal(size=7))
+    x1 = jnp.asarray(rng.normal(size=7))
+    x2 = jnp.asarray(rng.normal(size=5))
+    check_process_interface(f, x0, x1, x2)
