@@ -55,6 +55,15 @@ def main():
                          "(bf16_3x) — rel err ~2 measured by `perf_probe "
                          "accuracy` — which limits NUTS mixing on that "
                          "coordinate; HIGHEST restores it at ~1.4× cost")
+    ap.add_argument("--chain-batches", type=int, default=1,
+                    dest="chain_batches",
+                    help="run B sequential batches of --chains chains "
+                         "(fold_in batch keys) and pool the draws for "
+                         "R-hat/ESS: restores a wide statistical basis "
+                         "when HBM caps the per-batch chain count (the "
+                         "N=8192 row was 4-chain for this reason; VERDICT "
+                         "r4 weak-item 4).  Wall time sums over batches, "
+                         "so ESS/s stays honest.")
     ap.add_argument("--single-pass", action="store_true", dest="single_pass",
                     help="segmented mode: derive the steady rate from the "
                          "first pass's per-segment medians instead of a "
@@ -93,14 +102,13 @@ def main():
     spec = dict(v=P.positive(1.0), l=P.positive(1.0), noise=P.positive(0.3))
     theta0, unflatten = P.init(spec)
 
-    if args.precision:
-        # process-wide (this is a single-purpose script): custom-VJP
-        # backward rules trace outside any scoped block, so the default
-        # layer is the right lever here
-        from stheno_tpu.ops import blocked_cholesky as _bc
-
-        _bc.set_gemm_precision(args.precision)
-        log(f"GEMM precision: {args.precision}")
+    # precision policy: an explicit --precision is passed through to the
+    # samplers (and overrides their 'auto' rule); otherwise 'auto' applies —
+    # at N>=4096 f32 the entry points pin HIGHEST themselves (round-5
+    # policy; BASELINE.md round-4 cliff).  To measure the HIGH configuration
+    # at large N (e.g. to reproduce the cliff), pass --precision high.
+    prec_arg = args.precision if args.precision else "auto"
+    log(f"precision policy: {prec_arg}")
 
     def logdensity(theta):
         p = unflatten(theta)
@@ -142,6 +150,7 @@ def main():
                 nuts_warmup(
                     key, logdensity, theta0, num_warmup=args.warmup,
                     num_chains=args.chains, max_depth=args.max_depth,
+                    precision=prec_arg,
                 )
             )
         )
@@ -151,7 +160,7 @@ def main():
             return run_nuts(
                 key, logdensity, theta0, num_samples=args.samples,
                 num_chains=args.chains, max_depth=args.max_depth,
-                resume_state=state,
+                resume_state=state, precision=prec_arg,
             )
 
         def full_run(key):
@@ -170,10 +179,22 @@ def main():
         log(f"compile+first: {time.time()-t0:.1f}s")
 
         null_s = null_probe("before")
-        s_host, div_a, dt, t_warm = full_run(jax.random.PRNGKey(2))
+        parts, divs, dt, t_warm = [], [], 0.0, 0.0
+        for b in range(args.chain_batches):
+            sb, db, dtb, twb = full_run(
+                jax.random.fold_in(jax.random.PRNGKey(2), b))
+            parts.append(sb)
+            divs.append(db)
+            dt += dtb
+            t_warm += twb
+            if args.chain_batches > 1:
+                log(f" batch {b + 1}/{args.chain_batches}: sampling "
+                    f"{dtb:.1f}s")
+        s_host = np.concatenate(parts, axis=0)
+        div_a = np.concatenate(divs, axis=0)
         null_s = 0.5 * (null_s + null_probe("after"))
         div = float(div_a.mean())
-        n_sample_calls = 1
+        n_sample_calls = args.chain_batches
         log(f"steady: sampling {dt:.1f}s (+ warmup {t_warm:.1f}s, excluded)")
     else:
         S = args.segment
@@ -188,7 +209,7 @@ def main():
             lambda key: nuts_warmup(
                 key, logdensity, theta0, num_warmup=args.warmup,
                 num_chains=args.chains, max_depth=args.max_depth,
-                segment=(0, min(WSEG, args.warmup)),
+                segment=(0, min(WSEG, args.warmup)), precision=prec_arg,
             )
         )
 
@@ -197,7 +218,7 @@ def main():
             return nuts_warmup(
                 key, logdensity, theta0, num_warmup=args.warmup,
                 num_chains=args.chains, max_depth=args.max_depth,
-                segment=(start, WSEG), state=state,
+                segment=(start, WSEG), state=state, precision=prec_arg,
             )
 
         def warm(key):
@@ -220,6 +241,7 @@ def main():
                 key, logdensity, theta0, num_samples=S,
                 num_chains=args.chains, max_depth=args.max_depth,
                 resume_state=state, return_state=True, sample_offset=off,
+                precision=prec_arg,
             )
 
         seg_j = jax.jit(seg)  # offset traced: one compile for all segments
@@ -258,19 +280,43 @@ def main():
         # many successive large calls, so --single-pass avoids doubling
         # the exposure; without it a second (fully warm) pass is timed.
         null_s = null_probe("before")
-        t0 = time.time()
-        s_host, div_a, dt1, t_warm, n_sample_calls, seg_times = full_run(
-            jax.random.PRNGKey(2))
-        log(f"first full pass: {time.time()-t0:.1f}s (warmup {t_warm:.1f}s)")
+        parts, divs = [], []
+        t_warm, n_sample_calls = 0.0, 0
+        all_seg = []  # warm per-segment times pooled over batches
+        dt_measured = 0.0
+        for b in range(args.chain_batches):
+            t0 = time.time()
+            sb, db, dtb, twb, ncb, seg_times = full_run(
+                jax.random.fold_in(jax.random.PRNGKey(2), b))
+            log(f" batch {b + 1}/{args.chain_batches}: "
+                f"{time.time()-t0:.1f}s (warmup {twb:.1f}s)")
+            parts.append(sb)
+            divs.append(db)
+            t_warm += twb
+            n_sample_calls += ncb
+            dt_measured += dtb
+            # batch 1's first segment carries the compile; later batches
+            # are fully warm
+            all_seg += seg_times[1:] if b == 0 else seg_times
+        s_host = np.concatenate(parts, axis=0)
+        div_a = np.concatenate(divs, axis=0)
         if args.single_pass:
-            steady_seg = float(np.median(seg_times[1:])) if len(
-                seg_times) > 1 else seg_times[0]
+            steady_seg = float(np.median(all_seg)) if all_seg else (
+                dt_measured / n_sample_calls)
             dt = steady_seg * n_sample_calls
             log(f"single-pass steady estimate: median seg "
                 f"{steady_seg:.2f}s × {n_sample_calls} = {dt:.1f}s")
         else:
-            s_host, div_a, dt, t_warm, n_sample_calls, seg_times = full_run(
-                jax.random.PRNGKey(2))
+            # a second fully-warm pass over every batch
+            parts, divs, dt = [], [], 0.0
+            for b in range(args.chain_batches):
+                sb, db, dtb, twb, ncb, _ = full_run(
+                    jax.random.fold_in(jax.random.PRNGKey(2), b))
+                parts.append(sb)
+                divs.append(db)
+                dt += dtb
+            s_host = np.concatenate(parts, axis=0)
+            div_a = np.concatenate(divs, axis=0)
         null_s = 0.5 * (null_s + null_probe("after"))
         div = float(div_a.mean())
         log(f"steady sampling: {dt:.1f}s in {n_sample_calls} segments of "
@@ -290,7 +336,8 @@ def main():
         ess_total += ess
         rhat_max = max(rhat_max, rhat)
         log(f"  {nm:6s} ess={ess:8.1f}  rhat={rhat:.4f}")
-    draws_per_s = args.chains * args.samples / dt
+    total_chains = args.chains * args.chain_batches
+    draws_per_s = total_chains * args.samples / dt
     # overhead-subtracted device estimate: each jitted sampling call pays
     # the fixed relay/dispatch/host-pull overhead the null probe measures;
     # the device numbers are the per-chip rates the north star names.
@@ -299,7 +346,9 @@ def main():
     out = {
         "metric": f"nuts_ess_per_s_N{N}",
         "n": N,
-        "chains": args.chains,
+        "chains": total_chains,
+        "chains_per_batch": args.chains,
+        "chain_batches": args.chain_batches,
         "samples": args.samples,
         "warmup": args.warmup,
         "steady_s": round(dt, 2),
@@ -319,7 +368,7 @@ def main():
         "overhead_share": round(overhead_s / dt, 3),
         "device_s_est": round(device_s, 2),
         "ess_per_s_device": round(ess_total / device_s, 1),
-        "draws_per_s_device": round(args.chains * args.samples / device_s, 1),
+        "draws_per_s_device": round(total_chains * args.samples / device_s, 1),
         "rhat_max": round(rhat_max, 4),
         "divergence_rate": round(div, 4),
     }
