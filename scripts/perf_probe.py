@@ -529,6 +529,161 @@ def main():
             log(f"{nm:16s} {macs/ (ms/1e3) / 1e12:8.1f} e12 MAC/s raw "
                 f"({macs/((ms-26)/1e3)/1e12:7.1f} dev-est)")
             results[nm] = ms
+    if want("fwd_floor"):
+        # Forward-gap decomposition (VERDICT r5 item 1): the blocked forward
+        # runs at ~65% of the calibrated 31-32e12 MAC/s peak (~14 ms above
+        # its MAC bound at N=16k).  Is the missing time (i) skewed-shape
+        # GEMM inefficiency, (ii) the serial per-panel diagonal-factor +
+        # tri-inv chain, or (iii) stitching/slice overhead?  Measure (i) and
+        # (ii) in isolation, same window, and subtract.
+        from stheno_tpu.ops.blocked_cholesky import (
+            _blocked_cholesky_impl,
+            blocked_tri_inv_lower,
+        )
+
+        B = 1024
+        nb = N // B
+        prec = lax.Precision.HIGH
+
+        def _op(shape, seed):
+            r = jax.lax.broadcasted_iota(DT, shape, 0)
+            c = jax.lax.broadcasted_iota(DT, shape, 1)
+            return jnp.sin(r * 0.001 + c * 0.002 + seed)
+
+        # (i) exact GEMM-shape replay: the left-looking panel updates
+        # (n-c, c)@(c, B) and the TRSM-apply (n-c-B, B)@(B, B) GEMMs of the
+        # B=1024 forward, as a chain of barrier-fenced matmuls.
+        macs = 0
+        for kb in range(nb):
+            c0 = kb * B
+            if kb > 0:
+                macs += (N - c0) * c0 * B
+            if N - c0 > B:
+                macs += (N - c0 - B) * B * B
+
+        @jax.jit
+        def gemm_shapes(i):
+            acc = jnp.asarray(0.0, DT)
+            for kb in range(nb):
+                c0 = kb * B
+                if kb > 0:
+                    a = _op((N - c0, c0), i * 1e-6)
+                    b = _op((B, c0), 0.5)
+                    a, b = lax.optimization_barrier((a, b))
+                    Pn = jnp.matmul(a, b.T, precision=prec)
+                    acc = acc + jnp.vdot(Pn, Pn) * 1e-12
+                if N - c0 > B:
+                    a = _op((N - c0 - B, B), i * 1e-6 + 1.0)
+                    b = _op((B, B), 0.25)
+                    a, b = lax.optimization_barrier((a, b))
+                    Tn = jnp.matmul(a, b, precision=prec)
+                    acc = acc + jnp.vdot(Tn, Tn) * 1e-12
+            return acc
+
+        # (ii) serial diagonal chain: nb dependent (recursive B-block factor
+        # + blocked tri-inv) steps — the forward's critical-path
+        # small-matrix work without the N-tall GEMMs.
+        K1 = km_se(x_host[:B]) + 0.1 * jnp.eye(B, dtype=DT)
+
+        @jax.jit
+        def diag_chain(i):
+            def step(k, carry):
+                A, acc = carry
+                L = _blocked_cholesky_impl(A, block=max(256, B // 4),
+                                           base=256)
+                Mi = blocked_tri_inv_lower(L, base=256)
+                s = jnp.vdot(L, L) + jnp.vdot(Mi, Mi) * 1e-9
+                A = K1 + (i * 1e-7 + s * 1e-20) * jnp.eye(B, dtype=DT)
+                return A, acc + s
+
+            _, acc = lax.fori_loop(
+                0, nb, step, (K1, jnp.asarray(0.0, DT)))
+            return acc
+
+        # (ii') same chain with one whole-panel lax call (the accuracy-
+        # regressing round-4 variant) — bounds how much of (ii) is our
+        # recursive structure vs inherent small-factorisation latency.
+        @jax.jit
+        def diag_chain_lax(i):
+            def step(k, carry):
+                A, acc = carry
+                L = lax.linalg.cholesky(A)
+                Mi = blocked_tri_inv_lower(L, base=256)
+                s = jnp.vdot(L, L) + jnp.vdot(Mi, Mi) * 1e-9
+                A = K1 + (i * 1e-7 + s * 1e-20) * jnp.eye(B, dtype=DT)
+                return A, acc + s
+
+            _, acc = lax.fori_loop(
+                0, nb, step, (K1, jnp.asarray(0.0, DT)))
+            return acc
+
+        # the forward itself, same window (B=1024/base=256 library default)
+        from stheno_tpu.ops.blocked_cholesky import blocked_cholesky
+
+        @jax.jit
+        def fwd_now(i):
+            xx = x_host + i * 1e-7
+            K = km_se(xx) + 0.1 * jnp.eye(N, dtype=DT)
+            L = blocked_cholesky(K, block=B, base=256)
+            return jnp.vdot(L, L)
+
+        results["fwd_now"] = timed("fwd_now", fwd_now)
+        results["gemm_shapes"] = timed("gemm_shapes", gemm_shapes)
+        results["diag_chain"] = timed("diag_chain", diag_chain)
+        results["diag_chain_lax"] = timed("diag_chain_lax", diag_chain_lax)
+        log(f"fwd_floor arithmetic (raw ms; subtract the null in-window):")
+        log(f"  GEMM-shape MACs {macs:.3e} -> perfect "
+            f"{macs / 31e12 * 1e3:.1f} ms at 31e12 MAC/s")
+        log(f"  fwd - shapes - chain = "
+            f"{results['fwd_now'] - results['gemm_shapes'] - results['diag_chain']:.1f} ms residual (+2 nulls)")
+    if want("dist_p1"):
+        # VERDICT r5 item 3: every multi-device artifact so far ran on the
+        # virtual CPU mesh, and round 4 proved backend-specific failure
+        # modes are real (the fused backward compiles in 0.85 GB on CPU
+        # and OOMs at 42 GB on XLA:TPU).  This variant executes the
+        # distributed (shard_map) factorisation + logpdf on a ONE-DEVICE
+        # 'rows' mesh on the actual backend — the only multi-chip-code
+        # validation a single-chip environment permits — A/B'd against the
+        # single-chip blocked path in the same window.
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from stheno_tpu.ops import chol as C
+        from stheno_tpu.parallel.cholesky import (
+            distributed_cholesky_auto,
+            distributed_mvn_logpdf,
+        )
+
+        mesh = Mesh(_np.asarray(jax.devices()[:1]), ("rows",))
+        y_obs = jnp.sin(x_host)
+
+        def K_of(i):
+            xx = x_host + i * 1e-7
+            return km_se(xx) + 0.1 * jnp.eye(N, dtype=DT)
+
+        @jax.jit
+        def single_run(i):
+            K = K_of(i)
+            return C.mvn_logpdf_chol(
+                y_obs, jnp.zeros_like(y_obs), C.cholesky_psd(K))
+
+        @jax.jit
+        def dist_run(i):
+            K = K_of(i)
+            return distributed_mvn_logpdf(
+                mesh, K, jnp.zeros_like(y_obs), y_obs, block_size=1024)
+
+        @jax.jit
+        def dist_chol_run(i):
+            L = distributed_cholesky_auto(mesh, K_of(i), block_size=1024)
+            return jnp.vdot(L, L)
+
+        results["logpdf_single"] = timed("logpdf_single", single_run)
+        results["logpdf_dist_p1"] = timed("logpdf_dist_p1", dist_run)
+        results["chol_dist_p1"] = timed("chol_dist_p1", dist_chol_run)
+        v_s, v_d = float(single_run(99)), float(dist_run(99))
+        log(f"dist_p1 value check: single {v_s:.6g} vs distributed "
+            f"{v_d:.6g} (|diff| {abs(v_s - v_d):.3g})")
     if want("km_xla"):
         results["km_xla"] = timed("km_xla", make_km_xla())
     if want("km_pal"):
