@@ -41,7 +41,14 @@ def _blocks(path):
 
 
 @pytest.mark.parametrize(
-    "path", _doc_files(), ids=lambda p: str(p.relative_to(REPO))
+    "path",
+    [
+        # getting_started runs a full NUTS + VFE pipeline (~47 s) — nightly
+        pytest.param(p, marks=[pytest.mark.slow]
+                     if p.name == "getting_started.md" else [])
+        for p in _doc_files()
+    ],
+    ids=lambda p: str(p.relative_to(REPO)),
 )
 def test_doc_code_blocks_execute(path):
     blocks = _blocks(path)

@@ -6,6 +6,8 @@ the unit suite)."""
 import runpy
 import sys
 
+import pytest
+
 
 def test_process_decomposition_example(monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["process_decomposition.py"])
@@ -14,6 +16,7 @@ def test_process_decomposition_example(monkeypatch, capsys):
     assert "process_decomposition: OK" in out
 
 
+@pytest.mark.slow
 def test_convolutional_gp_example(monkeypatch, capsys):
     monkeypatch.setattr(sys, "argv", ["convolutional_gp.py"])
     runpy.run_path("examples/convolutional_gp.py", run_name="__main__")
@@ -43,6 +46,7 @@ def test_time_varying_blr_example(monkeypatch):
     runpy.run_path("examples/time_varying_blr.py", run_name="__main__")
 
 
+@pytest.mark.slow
 def test_non_gaussian_likelihoods_example(monkeypatch, capsys):
     monkeypatch.setattr(
         sys, "argv", ["non_gaussian_likelihoods.py", "--platform", "cpu"]
@@ -59,8 +63,6 @@ def test_non_gaussian_likelihoods_example(monkeypatch, capsys):
 # the `slow` marker (nightly lane).
 # ---------------------------------------------------------------------------
 
-import pytest
-
 
 def _run(monkeypatch, name, *args):
     monkeypatch.setattr(sys, "argv", [f"{name}.py", *args])
@@ -71,6 +73,7 @@ def test_custom_affine_transformations_example(monkeypatch):
     _run(monkeypatch, "custom_affine_transformations", "--platform", "cpu")
 
 
+@pytest.mark.slow
 def test_deep_kernel_learning_example(monkeypatch):
     _run(monkeypatch, "deep_kernel_learning", "--platform", "cpu")
 
@@ -79,11 +82,13 @@ def test_quadrature_convolution_example(monkeypatch):
     _run(monkeypatch, "quadrature_convolution", "--platform", "cpu")
 
 
+@pytest.mark.slow
 def test_gppp_and_pseudo_points_example(monkeypatch, capsys):
     _run(monkeypatch, "gppp_and_pseudo_points", "--platform", "cpu")
     assert "OK" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_extended_mauna_loa_example(monkeypatch, capsys):
     _run(monkeypatch, "extended_mauna_loa", "--platform", "cpu")
     assert "OK" in capsys.readouterr().out
@@ -94,16 +99,19 @@ def test_svgp_data_parallel_example(monkeypatch, capsys):
     assert "OK" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_big_n_sharded_example(monkeypatch, capsys):
     _run(monkeypatch, "big_n_sharded", "--fast")
     assert "OK" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_matrix_free_big_n_example(monkeypatch, capsys):
     _run(monkeypatch, "matrix_free_big_n", "--platform", "cpu", "--fast")
     assert "OK" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_nuts_hyperparameters_example(monkeypatch):
     _run(monkeypatch, "nuts_hyperparameters", "--platform", "cpu")
 

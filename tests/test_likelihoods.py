@@ -158,6 +158,7 @@ def test_laplace_gaussian_equals_exact(rng):
     )
 
 
+@pytest.mark.slow
 def test_laplace_bernoulli_classification(rng):
     """Probit GP classification: recovers the sign structure of the latent,
     predictive probabilities calibrated in [0,1], evidence differentiable."""

@@ -179,7 +179,11 @@ def _collect_primitive_shapes(jaxpr, name, out):
                         _collect_primitive_shapes(sw, name, out)
 
 
-@pytest.mark.parametrize("n", [1500, 2100])
+@pytest.mark.parametrize("n", [
+    1100,
+    pytest.param(1500, marks=pytest.mark.slow),
+    pytest.param(2100, marks=pytest.mark.slow),
+])
 def test_ragged_n_routes_blocked_with_padding(rng, n):
     """A ragged N above the panel width must ride the blocked path via
     identity padding — NOT silently fall back to the un-blocked lax

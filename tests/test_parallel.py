@@ -277,6 +277,7 @@ def test_sharded_gppp_logpdf_gradients(rng):
                                    err_msg=f"grad mismatch for {k}")
 
 
+@pytest.mark.slow
 def test_sharded_posterior_cross_process(rng, key):
     """Condition on :f3 sharded, predict :f1 marginals — matches the dense
     PosteriorGP to 1e-8 (cross-process prediction from the sharded factor)."""
@@ -380,6 +381,7 @@ def test_distributed_cholesky_cyclic_matches_dense(rng):
     )
 
 
+@pytest.mark.slow
 def test_distributed_cholesky_cyclic_nondividing_p(rng):
     """P=4, nb=8 — multiple slots per device, and p=1 degenerate case."""
     from stheno_tpu.parallel import distributed_cholesky_cyclic

@@ -132,6 +132,7 @@ def test_ring_gp_solve_grad_through_collectives(rng):
     np.testing.assert_allclose(float(g), float(g_ref), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_slq_logdet_dense_oracle(rng, key):
     """SLQ logdet against the dense logdet (f64, full-reorth Lanczos)."""
     from stheno_tpu.parallel.ring import slq_logdet

@@ -65,6 +65,7 @@ def test_spectral_unsupported_raises(key):
         spectral_features(st.LinearKernel(), key, 64)
 
 
+@pytest.mark.slow
 def test_prior_samples_match_joint_cov(key):
     """Empirical covariance of functional draws of f3 = f1 + stretch(f2)
     matches the graph's joint covariance, including the f3↔f1 cross block."""
@@ -88,6 +89,7 @@ def test_prior_samples_match_joint_cov(key):
     assert np.max(np.abs(np.asarray(Y).mean(0))) < 0.05
 
 
+@pytest.mark.slow
 def test_pathwise_posterior_matches_exact(key):
     """Conditioned paths: empirical mean/var at new inputs — on the observed
     process AND a latent component — match the exact posterior."""
