@@ -247,15 +247,66 @@ def _phi(M):
     return tril - 0.5 * jnp.diagonal(M)[..., None] * jnp.eye(n, dtype=M.dtype)
 
 
+def _tri_inv_lower_batched(L, bs):
+    """Bottom-up batched construction of L⁻¹ for uniform power-of-2 layouts
+    (n = 2^k · bs): ONE batched TRSM inverts every diagonal base block at
+    once, then log2(n/bs) rounds of batched GEMMs assemble the pairwise
+    combines
+
+        inv([[A, 0], [B, C]]) = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]].
+
+    The recursive 2-way split issues the same FLOPs as ~2·(n/bs) SERIAL
+    small ops; on TPU (single compute stream, per-dispatch latency) the
+    batched form collapses the critical path to 1 + 2·log2(n/bs)
+    dispatches — this sits inside the forward's per-panel serial chain
+    (measured ~7 ms of the N=16k forward, `perf_probe fwd_floor`)."""
+    n = L.shape[-1]
+    nb = n // bs
+    idx = jnp.arange(nb)
+    diag = L.reshape(nb, bs, nb, bs)[idx, :, idx, :]  # (nb, bs, bs)
+    eye = jnp.broadcast_to(jnp.eye(bs, dtype=L.dtype), (nb, bs, bs))
+    invs = lax.linalg.triangular_solve(
+        diag, eye, left_side=True, lower=True
+    )
+    s = bs
+    while s < n:
+        m = n // (2 * s)
+        ar = jnp.arange(m)
+        Z = L.reshape(m, 2 * s, m, 2 * s)[ar, :, ar, :]  # (m, 2s, 2s)
+        Bs = Z[:, s:, :s]
+        A = invs[0::2]
+        C = invs[1::2]
+        BL = -_mm(C, _mm(Bs, A))
+        top = jnp.concatenate(
+            [A, jnp.zeros((m, s, s), L.dtype)], axis=-1)
+        bot = jnp.concatenate([BL, C], axis=-1)
+        invs = jnp.concatenate([top, bot], axis=-2)  # (m, 2s, 2s)
+        s *= 2
+    return invs[0]
+
+
 def blocked_tri_inv_lower(L, base=512):
     """Explicit inverse of a lower-triangular matrix by recursive 2-way
     splitting — all off-diagonal work is GEMMs:
 
         inv([[A, 0], [B, C]]) = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]]
+
+    Uniform power-of-2 layouts take the batched bottom-up construction
+    (`_tri_inv_lower_batched`) unless a custom base inverse is scoped in.
     """
+    from stheno_tpu import config as _cfg
+
     n = L.shape[-1]
     if n <= base:
         return _tri_inv_lower(L)
+    nb = n // base
+    if (
+        n % base == 0
+        and nb & (nb - 1) == 0
+        and _cfg.active_override("base_tri_inv", _BASE_TRI_INV)
+        is _tri_inv_lower_xla
+    ):
+        return _tri_inv_lower_batched(L, base)
     h = ((n // 2) // 64) * 64
     if h == 0 or n - h <= 0:
         return _tri_inv_lower(L)
@@ -272,8 +323,15 @@ def blocked_tri_inv_lower(L, base=512):
 
 def _chol_bwd_base(L, L_bar):
     """Closed-form small-block reverse rule: raw (lower-convention) gradient
-    L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ via two small TRSMs."""
-    P = _phi(_mm(L.T, L_bar))
+    L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ via two small TRSMs.
+
+    Masks `tril(L̄)` HERE (a ≤base² pass) instead of the caller tril-ing the
+    full N×N cotangent: Φ(Lᵀ L̄) only ever consumes tril(L̄) — (Lᵀ L̄)[i,j]
+    with j ≤ i sums L[k,i]·L̄[k,j] over k ≥ i ≥ j, all lower entries — and
+    every other read of the cotangent in the blocked reverse rules is a
+    strictly-lower block.  The upfront `jnp.tril(L_bar)` was a full-matrix
+    materialisation (~2 GB of HBM traffic at N=16k, ~2.4 ms device)."""
+    P = _phi(_mm(L.T, jnp.tril(L_bar)))
     W = lax.linalg.triangular_solve(
         L, P, left_side=True, lower=True, transpose_a=True
     )  # L⁻ᵀ P
@@ -531,7 +589,9 @@ def _chol_bwd_fused(L, L_bar, block, base, invs=None):
             L11inv = invs[kb]  # the forward's saved panel inverse
         else:
             L11inv = blocked_tri_inv_lower(L11, base=base)
-        G = _mm(L11.T, Lb11)
+        # tril fold (see _chol_bwd_base): the diagonal block is the only
+        # place the cotangent's upper triangle could leak in at this level
+        G = _mm(L11.T, jnp.tril(Lb11))
         if m > 0:
             L21 = L[c + B :, c : c + B]
             Lb21 = L_bar[c + B :, c : c + B]
@@ -614,15 +674,19 @@ def _blocked_cholesky_bwd(block, base, sym, res, L_bar):
         # cap the backward's diagonal-block solves (ADVICE r4) — rebuild
         # them under the backward scope instead
         invs = None
+    # NOTE: no full-matrix jnp.tril(L_bar) here — the reverse rules only
+    # read strictly-lower blocks of the cotangent, and the diagonal blocks
+    # are tril-masked at the point of use (_chol_bwd_base / fused G build),
+    # saving an N²-class materialisation pass (round 5).
     with _cfg.scoped(**({"gemm_precision": bp} if bp is not None else {})):
         if mode == "fused":
-            out = _chol_bwd_fused(L, jnp.tril(L_bar), bwd_block, eff_base,
+            out = _chol_bwd_fused(L, L_bar, bwd_block, eff_base,
                                   invs=invs)
         elif mode == "iter":
-            out = _chol_bwd_iter(L, jnp.tril(L_bar), bwd_block, eff_base,
+            out = _chol_bwd_iter(L, L_bar, bwd_block, eff_base,
                                  invs=invs)
         else:
-            K_raw = _chol_bwd_rec(L, jnp.tril(L_bar), base=eff_base,
+            K_raw = _chol_bwd_rec(L, L_bar, base=eff_base,
                                   invs=invs, g0=0)
             out = 0.5 * (K_raw + K_raw.T)
     return (out,)
