@@ -270,6 +270,22 @@ def main():
             )
             bc.set_bwd_params(*_bwd_defaults)
             bc.set_bwd_precision(None)
+    for name, fn in [
+        # sym-fold A/B (the round-4 fold saved ~14 ms at N=16k; the N=32k
+        # stage table says the cholesky_psd forward runs ~2x slower than
+        # the raw impl — isolate whether the fold is the cause)
+        ("chol_impl_plain",
+         lambda K: bc._blocked_cholesky_impl(K, 1024, 256)),
+        ("chol_impl_sym",
+         lambda K: bc._blocked_cholesky_impl(K, 1024, 256, sym=True)),
+        ("chol_psd_path", None),  # filled below (needs ops.chol import)
+    ]:
+        if want(name):
+            if name == "chol_psd_path":
+                from stheno_tpu.ops import chol as _C
+
+                fn = lambda K: _C.cholesky_psd(K)
+            results[name] = timed(name, make_chol_probe(fn), check=trK)
     for blk in (1024, 4096):
         if want(f"chol_b{blk}"):
             results[f"chol_b{blk}"] = timed(

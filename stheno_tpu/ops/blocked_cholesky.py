@@ -70,11 +70,19 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=_active_prec())
 
 
+def _lax_chol_lower(A):
+    """lax cholesky reading ONLY the lower triangle (its default
+    symmetrize_input=True would average each diagonal block — the blocked
+    factorisation has pure tril(K) semantics, matching the reference's
+    `cholesky(Symmetric(K))` one-triangle read; round 5)."""
+    return lax.linalg.cholesky(A, symmetrize_input=False)
+
+
 # Base-case factoriser for blocks ≤ `base`.  Default: XLA's built-in.  The
 # Pallas in-VMEM kernel (`experimental/pallas/chol_block.py`) can be swapped in via
 # `set_base_cholesky` — the N/base serially-dependent base factorisations sit
 # on the critical path, so base-case latency matters at large N.
-_BASE_CHOL = lax.linalg.cholesky
+_BASE_CHOL = _lax_chol_lower
 
 
 def set_base_cholesky(fn):
@@ -169,7 +177,7 @@ def _blocked_cholesky_impl(A, block=1024, base=256, sym=False,
         # ragged: fall back (callers pad to MXU-friendly sizes for speed)
         if sym:
             A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
-        L = lax.linalg.cholesky(A)
+        L = _lax_chol_lower(A)
         return (L, None) if collect_invs else L
 
     nb = n // B

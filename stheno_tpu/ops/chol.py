@@ -106,14 +106,24 @@ def cholesky_psd(K, jitter=None):
         # internal matmuls at low precision, and at 1024-blocks that made
         # the N=4096 f32 logpdf 6× less accurate (13.5 vs 2.0 abs err) and
         # wrecked NUTS adaptation (R̂ 2.2, 2.8% divergences; BASELINE.md
-        # round-4 negative result #5).  sym=True folds the symmetrisation
-        # into the per-panel reads — the explicit `symmetrize`
-        # materialisation costs ~3·N² words of HBM traffic (no accuracy
-        # effect, measured).  Ragged N is identity-padded to the next panel
+        # round-4 negative result #5).
+        #
+        # LOWER-TRIANGLE semantics, no symmetrisation (round 5): the
+        # blocked factorisation reads only lower column slabs and its base
+        # case ignores block-upper content, so the factor depends on
+        # tril(K) alone — exactly the reference's `cholesky(Symmetric(K))`
+        # (Julia's Symmetric wraps ONE triangle; it never averages).  Both
+        # explicit 0.5·(K+Kᵀ) and the round-4 sym=True mirrored-panel fold
+        # are measured losses (fold: +5 ms at N=16k, +211 ms at N=32k —
+        # the per-panel mirror row-slab transpose defeats XLA's layout;
+        # BASELINE.md round 5).  For symmetric-to-fp-noise inputs (every
+        # covariance this library builds) the semantics agree to ~1e-7
+        # relative; the custom VJP already returns the symmetric gradient
+        # either way.  Ragged N is identity-padded to the next panel
         # multiple (no silent lax cliff).
         if jitter is not None:
             K = add_jitter(K, jnp.asarray(jitter, dtype=K.dtype))
-        return cholesky_blocked_padded(K, block=1024, base=256, sym=True)
+        return cholesky_blocked_padded(K, block=1024, base=256)
     K = symmetrize(K)
     if jitter is not None:
         K = add_jitter(K, jnp.asarray(jitter, dtype=K.dtype))

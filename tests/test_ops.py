@@ -260,37 +260,65 @@ def test_backward_reuses_forward_inverses(rng, mode, bwd_base, bwd_block):
         atol=2e-8 * n)
 
 
-def test_blocked_fused_symmetrize_matches_explicit(rng):
-    """The blocked path folds the mandatory symmetrisation into per-panel
-    reads (sym=True).  On a deliberately ASYMMETRIC input, value and
-    gradients must match the explicit symmetrize-then-factor route."""
+def test_cholesky_psd_lower_triangle_semantics(rng):
+    """`cholesky_psd`'s blocked route factors tril(K) — the reference's
+    `cholesky(Symmetric(K))` semantics (one triangle, never averaged).  On
+    a deliberately ASYMMETRIC input the value must match LAPACK's
+    lower-triangle read; on symmetric inputs gradients must match the lax
+    route."""
     import scipy.linalg
 
     from stheno_tpu import config as cfg
     from stheno_tpu.ops import chol as C
 
     n = 1024
-    K = _psd(rng, n) + 0.05 * jnp.asarray(rng.normal(size=(n, n)))  # asym
-    K_sym = np.asarray(0.5 * (K + K.T))
+    K_asym = _psd(rng, n) + 0.05 * jnp.asarray(rng.normal(size=(n, n)))
     y = jnp.asarray(rng.normal(size=(n,)))
 
     with cfg.chol_backend("blocked"):
-        L = C.cholesky_psd(K, 1e-9)
-        np.testing.assert_allclose(
-            np.asarray(L),
-            scipy.linalg.cholesky(K_sym + 1e-9 * np.eye(n), lower=True),
-            atol=1e-8,
-        )
+        L = C.cholesky_psd(K_asym, 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(L),
+        scipy.linalg.cholesky(
+            np.asarray(K_asym) + 1e-9 * np.eye(n), lower=True),
+        atol=1e-8,
+    )
 
-        def lp(A):
-            return C.mvn_logpdf_chol(
-                y, jnp.zeros_like(y), C.cholesky_psd(A, 1e-9))
+    # symmetric input: value AND logpdf gradient agree across backends
+    K = _psd(rng, n)
 
+    def lp(A):
+        return C.mvn_logpdf_chol(
+            y, jnp.zeros_like(y), C.cholesky_psd(A, 1e-9))
+
+    with cfg.chol_backend("blocked"):
         g_blocked = jax.grad(lp)(K)
     with cfg.chol_backend("lax"):
         g_lax = jax.grad(lp)(K)
     np.testing.assert_allclose(np.asarray(g_blocked), np.asarray(g_lax),
                                atol=1e-8)
+
+
+def test_blocked_sym_fold_machinery(rng):
+    """`blocked_cholesky(sym=True)` (the explicit averaging fold — off the
+    default path since round 5, kept as API) still factors 0.5·(A+Aᵀ)
+    exactly, with matching gradients."""
+    import scipy.linalg
+
+    n = 1024
+    K = _psd(rng, n) + 0.05 * jnp.asarray(rng.normal(size=(n, n)))  # asym
+    K_sym = np.asarray(0.5 * (K + K.T))
+    L = blocked_cholesky(K, 512, 256, True)
+    np.testing.assert_allclose(
+        np.asarray(L), scipy.linalg.cholesky(K_sym, lower=True), atol=1e-8)
+
+    ct = jnp.asarray(rng.normal(size=(n, n)))
+    _, vjp_b = jax.vjp(lambda A: blocked_cholesky(A, 512, 256, True), K)
+    gb = vjp_b(ct)[0]
+    _, vjp_l = jax.vjp(
+        lambda A: jnp.linalg.cholesky(0.5 * (A + A.T)), K)
+    gl = vjp_l(ct)[0]
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gl), atol=1e-8)
 
 
 def test_pallas_chol_block_and_tri_inv(rng):
