@@ -700,6 +700,56 @@ def main():
         v_s, v_d = float(single_run(99)), float(dist_run(99))
         log(f"dist_p1 value check: single {v_s:.6g} vs distributed "
             f"{v_d:.6g} (|diff| {abs(v_s - v_d):.3g})")
+    if want("ring_p1"):
+        # Companion to dist_p1 (VERDICT r5 item 3): the OTHER distributed
+        # family — the matrix-free ppermute ring (CG solve + SLQ logdet +
+        # Hutchinson custom-VJP gradient, parallel/ring.py) — has also never
+        # executed on XLA:TPU.  Run forward AND gradient on a ONE-DEVICE
+        # 'rows' mesh on the real backend; value-check the forward against
+        # the dense blocked-Cholesky logpdf and the (exact, non-stochastic)
+        # y-gradient against −K̂⁻¹y in the same window.  noise=1.0 keeps the
+        # SE system's condition number within f32-CG reach at this N.
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        import stheno_tpu as st
+        from stheno_tpu.ops import chol as C
+        from stheno_tpu.parallel.ring import ring_gp_logpdf
+
+        mesh = Mesh(_np.asarray(jax.devices()[:1]), ("rows",))
+        kern = 1.5 * st.with_lengthscale(st.SEKernel(), 1.0)
+        y_obs = jnp.sin(x_host)
+        key0 = jax.random.PRNGKey(7)
+        RING = dict(num_probes=8, lanczos_iters=20, tol=1e-6, maxiter=400)
+
+        @jax.jit
+        def ring_fwd(i):
+            return ring_gp_logpdf(
+                mesh, kern, x_host + i * 1e-7, y_obs, 1.0, key0, **RING)
+
+        @jax.jit
+        def ring_ygrad(i):
+            return jnp.sum(jax.grad(
+                lambda yy: ring_gp_logpdf(
+                    mesh, kern, x_host + i * 1e-7, yy, 1.0, key0, **RING)
+            )(y_obs) * y_obs)
+
+        @jax.jit
+        def dense_ref(i):
+            K = km_se(x_host + i * 1e-7) + 1.0 * jnp.eye(N, dtype=DT)
+            L = C.cholesky_psd(K)
+            alpha = C.chol_solve(L, y_obs)
+            lp = C.mvn_logpdf_chol(y_obs, jnp.zeros_like(y_obs), L)
+            return lp, -jnp.sum(alpha * y_obs)
+
+        results["ring_p1_fwd"] = timed("ring_p1_fwd", ring_fwd)
+        results["ring_p1_ygrad"] = timed("ring_p1_ygrad", ring_ygrad)
+        v_r, g_r = float(ring_fwd(99)), float(ring_ygrad(99))
+        v_d, g_d = (float(t) for t in dense_ref(99))
+        log(f"ring_p1 value check: ring {v_r:.6g} vs dense {v_d:.6g} "
+            f"(rel {abs(v_r - v_d) / max(abs(v_d), 1e-9):.3g}); "
+            f"ygrad ring {g_r:.6g} vs dense {g_d:.6g} "
+            f"(rel {abs(g_r - g_d) / max(abs(g_d), 1e-9):.3g})")
     if want("km_xla"):
         results["km_xla"] = timed("km_xla", make_km_xla())
     if want("km_pal"):
