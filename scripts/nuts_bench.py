@@ -248,11 +248,15 @@ def main():
             float(jnp.sum(state.q))  # host pull: forces the segment
             a = min(WSEG, args.warmup)
             n_calls = 1
+            t0 = time.time()
             while a < args.warmup:
                 state = later(key, jnp.asarray(a, jnp.int32), state)
                 float(jnp.sum(state.q))
                 a += WSEG
                 n_calls += 1
+                if n_calls % 20 == 0:
+                    log(f"  warmup {a}/{args.warmup} "
+                        f"({time.time() - t0:.0f}s since first segment)")
             return warmup_result(state), n_calls
 
         def seg(key, state, off):
