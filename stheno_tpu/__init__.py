@@ -78,6 +78,11 @@ from stheno_tpu.sampling import (
     prior_samples,
     pathwise_conditioned_samples,
 )
+from stheno_tpu.markov import (
+    sde_representation,
+    markov_gp_logpdf,
+    markov_gp_posterior_marginals,
+)
 
 __version__ = "0.1.0"
 
@@ -113,6 +118,9 @@ __all__ = list(_kernels_all) + [
     "spectral_features",
     "prior_samples",
     "pathwise_conditioned_samples",
+    "sde_representation",
+    "markov_gp_logpdf",
+    "markov_gp_posterior_marginals",
     "Stretch",
     "Select",
     "Periodic",
