@@ -130,3 +130,9 @@ def test_smc_model_evidence_example(monkeypatch):
 def test_neural_kernel_network_example(monkeypatch, capsys):
     _run(monkeypatch, "neural_kernel_network", "--platform", "cpu", "--fast")
     assert "neural_kernel_network: OK" in capsys.readouterr().out
+
+
+@pytest.mark.slow  # ~1 min: N=20k training loop (library path in-lane via test_markov)
+def test_markov_time_series_example(monkeypatch, capsys):
+    _run(monkeypatch, "markov_time_series", "--platform", "cpu", "--fast")
+    assert "markov_time_series: OK" in capsys.readouterr().out
