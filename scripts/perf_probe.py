@@ -750,6 +750,43 @@ def main():
             f"(rel {abs(v_r - v_d) / max(abs(v_d), 1e-9):.3g}); "
             f"ygrad ring {g_r:.6g} vs dense {g_d:.6g} "
             f"(rel {abs(g_r - g_d) / max(abs(g_d), 1e-9):.3g})")
+    if want("markov_1m"):
+        # State-space Markov-GP throughput: exact logpdf (+hyperparameter
+        # grad) at N=1e6 via the parallel Kalman filter — the O(log N)-depth
+        # associative-scan formulation (markov.py).  A dense path at this N
+        # would be 3.3e17 FLOPs; this is ~O(N) small-matrix work, i.e. a
+        # bandwidth/latency row, not an MXU row.
+        import numpy as _np
+
+        import stheno_tpu as st
+        from stheno_tpu.markov import markov_gp_logpdf
+
+        NM = int(os.environ.get("PROBE_MARKOV_N", 1_000_000))
+        rngm = _np.random.default_rng(0)
+        xm_np = _np.sort(rngm.uniform(0.0, 4000.0, NM))
+        xm = jnp.asarray(xm_np, DT)
+        ym = jnp.asarray(
+            _np.sin(0.3 * xm_np) + 0.3 * rngm.standard_normal(NM), DT)
+
+        def k_of(lv):
+            return lv[0] * st.with_lengthscale(st.Matern32Kernel(), lv[1])
+
+        lv0 = jnp.asarray([1.2, 5.0], DT)
+
+        @jax.jit
+        def mk_fwd(i):
+            return markov_gp_logpdf(k_of(lv0 + i * 1e-7), xm, ym, 0.1,
+                                    dtype=DT)
+
+        @jax.jit
+        def mk_grad(i):
+            val, g = jax.value_and_grad(
+                lambda lv: markov_gp_logpdf(k_of(lv), xm, ym, 0.1, dtype=DT)
+            )(lv0 + i * 1e-7)
+            return val + jnp.sum(g)
+
+        results[f"markov_fwd_{NM}"] = timed(f"markov_fwd_{NM}", mk_fwd)
+        results[f"markov_grad_{NM}"] = timed(f"markov_grad_{NM}", mk_grad)
     if want("km_xla"):
         results["km_xla"] = timed("km_xla", make_km_xla())
     if want("km_pal"):
