@@ -274,6 +274,48 @@ def _rts_smoother(A, Q, m_f, P_f):
     return ms, Ps
 
 
+def _smoother_combine(e1, e2):
+    """Associative smoothing combine (Särkkä & G-F 2021, Lemma 9): the
+    smoothing pass is an affine-Gaussian map composition — elementwise
+    matrix algebra, no solves."""
+    E1, g1, L1 = e1
+    E2, g2, L2 = e2
+    return (
+        E1 @ E2,
+        jnp.einsum("nij,nj->ni", E1, g2) + g1,
+        E1 @ L2 @ jnp.swapaxes(E1, -1, -2) + L1,
+    )
+
+
+def _parallel_smoother(A, Q, m_f, P_f):
+    """All smoothed moments in O(log N) depth via a reverse
+    `associative_scan` over per-step smoothing elements (E, g, L):
+    E_k = P_k A_{k+1}ᵀ P⁻¹_{k+1|k} (the RTS gain), g_k = m_k − E_k A m_k,
+    L_k = P_k − E_k A P_k; the terminal element is (0, m_N, P_N)."""
+    s = A.shape[-1]
+    A_n, Q_n = A[1:], Q[1:]  # transition k -> k+1
+    P_pred = A_n @ P_f[:-1] @ jnp.swapaxes(A_n, -1, -2) + Q_n
+    PAt = P_f[:-1] @ jnp.swapaxes(A_n, -1, -2)
+    # E = PAt P_pred⁻¹  ⇔  E P_pred = PAt  ⇔  P_predᵀ Eᵀ = PAtᵀ
+    E = jnp.swapaxes(
+        jnp.linalg.solve(jnp.swapaxes(P_pred, -1, -2),
+                         jnp.swapaxes(PAt, -1, -2)), -1, -2)
+    g = m_f[:-1] - jnp.einsum("nij,nj->ni", E @ A_n, m_f[:-1])
+    L = P_f[:-1] - E @ A_n @ P_f[:-1]
+    L = 0.5 * (L + jnp.swapaxes(L, -1, -2))
+    elems = (
+        jnp.concatenate([E, jnp.zeros((1, s, s), A.dtype)], axis=0),
+        jnp.concatenate([g, m_f[-1:]], axis=0),
+        jnp.concatenate([L, P_f[-1:]], axis=0),
+    )
+    # reverse=True delivers fn(later_composite, current): the current step
+    # is the OUTER map of the composition, so swap into the (outer, inner)
+    # roles _smoother_combine expects (op'(a,b)=op(b,a) stays associative).
+    _, ms, Ps = lax.associative_scan(
+        lambda a, b: _smoother_combine(b, a), elems, reverse=True)
+    return ms, Ps
+
+
 def markov_gp_posterior_marginals(kernel, x, y, noise, x_star=None,
                                   parallel=True, dtype=None):
     """Posterior marginal (mean, var) — at `x_star` if given, else at `x`.
@@ -302,7 +344,8 @@ def markov_gp_posterior_marginals(kernel, x, y, noise, x_star=None,
     A, Q, H, ya, r, _ = _prep(kernel, xa, ya, noise, dtype)
     flt = _parallel_filter if parallel else _sequential_filter
     m_f, P_f = flt(A, Q, H, ya, r, mask)
-    ms, Ps = _rts_smoother(A, Q, m_f, P_f)
+    smo = _parallel_smoother if parallel else _rts_smoother
+    ms, Ps = smo(A, Q, m_f, P_f)
     mean = ms @ H
     var = jnp.einsum("i,nij,j->n", H, Ps, H)
     if take is not None:

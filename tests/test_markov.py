@@ -113,6 +113,27 @@ def test_hyperparameter_gradient_fd():
         np.testing.assert_allclose(float(gi), float(fd), rtol=1e-5)
 
 
+def test_parallel_smoother_matches_sequential():
+    from stheno_tpu.markov import (
+        _parallel_filter,
+        _parallel_smoother,
+        _prep,
+        _rts_smoother,
+    )
+
+    k = 1.5 * st.with_lengthscale(st.Matern52Kernel(), 0.8)
+    x, noise = _data(7, 257, 0.1)
+    f = st.GP(k, gpc=GPC())
+    y = st.rand(jax.random.PRNGKey(7), f(x, noise))
+    A, Q, H, ya, r, _ = _prep(k, x, y, noise, None)
+    mask = jnp.ones(ya.shape, bool)
+    m_f, P_f = _parallel_filter(A, Q, H, ya, r, mask)
+    ms1, Ps1 = _rts_smoother(A, Q, m_f, P_f)
+    ms2, Ps2 = _parallel_smoother(A, Q, m_f, P_f)
+    np.testing.assert_allclose(np.asarray(ms2), np.asarray(ms1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ps2), np.asarray(Ps1), atol=1e-12)
+
+
 def test_non_markov_kernels_raise():
     for k in [st.SEKernel(), st.PeriodicKernel(r=jnp.asarray(1.0)),
               st.Matern32Kernel() * st.Matern12Kernel()]:
